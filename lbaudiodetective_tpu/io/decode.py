@@ -1,0 +1,60 @@
+"""Unified decode entry point: file -> (processing-rate mono float32, metadata).
+
+Prefers the native C++ decoder (``lbaudiodetective_tpu/io/native``) when its
+shared library has been built; otherwise falls back to the pure-NumPy
+implementations in :mod:`lbaudiodetective_tpu.io.caf`.  Both produce identical
+samples (the native path is validated against the NumPy one in
+tests/test_native_decoder.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from lbaudiodetective_tpu.io import caf as _caf
+from lbaudiodetective_tpu.io.resample import resample_rational
+
+
+@dataclasses.dataclass
+class DecodedAudio:
+    """Decoded + resampled clip.
+
+    ``file_frames`` is the frame count at the file's native rate -- the
+    quantity the reference reads as kExtAudioFileProperty_FileLengthFrames
+    (LBAudioDetective.m:236) and from which the spectrogram row count derives
+    (quirk Q8).
+    """
+
+    samples: np.ndarray       # float32 at processing rate
+    processing_rate: float
+    file_frames: int
+    file_rate: float
+
+    @property
+    def proc_frames(self) -> int:
+        return int(self.samples.shape[0])
+
+
+def _read_file(path: str) -> tuple[np.ndarray, float]:
+    try:
+        from lbaudiodetective_tpu.io.native import binding as native
+    except Exception:
+        native = None
+    if native is not None and native.available():
+        return native.read_caf(path)
+    return _caf.read_caf(path)
+
+
+def decode_audio_file(path: str, processing_rate: float = 5512.0) -> DecodedAudio:
+    """Decode an audio file and resample to the processing rate."""
+    samples, file_rate = _read_file(path)
+    file_frames = int(samples.shape[0])
+    resampled = resample_rational(samples, file_rate, processing_rate)
+    return DecodedAudio(
+        samples=np.ascontiguousarray(resampled, dtype=np.float32),
+        processing_rate=processing_rate,
+        file_frames=file_frames,
+        file_rate=file_rate,
+    )

@@ -1,0 +1,139 @@
+"""C-API parity layer: 1:1 names for the reference's public surface.
+
+Maps every public function of `LBAudioDetective.h` (constructor, preference
+getters/setters, processing, comparison) and of
+`LBAudioDetectiveFingerprint.h` (container ops) onto the pythonic framework
+objects.  Out-parameters become return values; OSStatus codes become Python
+exceptions (``ValueError`` for kLBAudioDetectiveArgumentInvalid semantics,
+LBAudioDetective.m:20,211-214).
+
+    detective = LBAudioDetectiveNew()
+    match = LBAudioDetectiveCompareAudioURLs(detective, url1, url2, 0)
+    LBAudioDetectiveDispose(detective)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lbaudiodetective_tpu.config import (
+    DEFAULT_ANALYSIS_STRIDE,
+    DEFAULT_PITCH_STEP_COUNT,
+    DEFAULT_PROCESSING_SAMPLE_RATE,
+    DEFAULT_ROWS_PER_FRAME,
+    DEFAULT_SUBFINGERPRINT_LENGTH,
+    DEFAULT_WINDOW_SIZE,
+)
+from lbaudiodetective_tpu.models.detective import AudioDetective
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.ops.match import match_fingerprints
+
+# Constants (LBAudioDetective.m:22-26)
+kLBAudioDetectiveDefaultWindowSize = DEFAULT_WINDOW_SIZE
+kLBAudioDetectiveDefaultAnalysisStride = DEFAULT_ANALYSIS_STRIDE
+kLBAudioDetectiveDefaultNumberOfPitchSteps = DEFAULT_PITCH_STEP_COUNT
+kLBAudioDetectiveDefaultNumberOfRowsPerFrame = DEFAULT_ROWS_PER_FRAME
+kLBAudioDetectiveDefaultSubfingerprintLength = DEFAULT_SUBFINGERPRINT_LENGTH
+
+
+# -- detective lifecycle (LBAudioDetective.h:41-56) -------------------------
+
+def LBAudioDetectiveNew() -> AudioDetective:
+    return AudioDetective()
+
+
+def LBAudioDetectiveDispose(detective: AudioDetective) -> None:
+    if detective is None:
+        raise ValueError("invalid argument: detective is None")
+    detective.dispose()
+
+
+def LBAudioDetectiveDefaultProcessingSampleRate() -> float:
+    return DEFAULT_PROCESSING_SAMPLE_RATE
+
+
+# -- getters (LBAudioDetective.h:63-122) ------------------------------------
+
+def LBAudioDetectiveGetProcessingSampleRate(d: AudioDetective) -> float:
+    return d.processing_sample_rate
+
+
+def LBAudioDetectiveGetNumberOfPitchSteps(d: AudioDetective) -> int:
+    return d.number_of_pitch_steps
+
+
+def LBAudioDetectiveGetSubfingerprintLength(d: AudioDetective) -> int:
+    return d.subfingerprint_length
+
+
+def LBAudioDetectiveGetWindowSize(d: AudioDetective) -> int:
+    return d.window_size
+
+
+def LBAudioDetectiveGetAnalysisStride(d: AudioDetective) -> int:
+    return d.analysis_stride
+
+
+# -- setters (LBAudioDetective.h:144-201) -----------------------------------
+
+def LBAudioDetectiveSetProcessingSampleRate(d: AudioDetective, rate: float) -> None:
+    d.processing_sample_rate = rate
+
+
+def LBAudioDetectiveSetNumberOfPitchSteps(d: AudioDetective, steps: int) -> None:
+    d.number_of_pitch_steps = steps
+
+
+def LBAudioDetectiveSetSubfingerprintLength(d: AudioDetective, length: int) -> None:
+    d.subfingerprint_length = length
+
+
+def LBAudioDetectiveSetWindowSize(d: AudioDetective, size: int) -> None:
+    # Spec-corrected Q4: raises on non-power-of-two instead of the
+    # reference's inverted check that errors on every valid size.
+    d.window_size = size
+
+
+def LBAudioDetectiveSetAnalysisStride(d: AudioDetective, stride: int) -> None:
+    d.analysis_stride = stride
+
+
+# -- processing (LBAudioDetective.h:210-235) --------------------------------
+
+def LBAudioDetectiveProcessAudioURL(d: AudioDetective, url: str) -> Fingerprint:
+    if url is None:
+        raise ValueError("invalid argument: url is None")
+    return d.process_audio_file(url)
+
+
+def LBAudioDetectiveCompareAudioURLs(d: AudioDetective, url1: str, url2: str,
+                                     comparison_range: int = 0) -> float:
+    return d.compare_audio_files(url1, url2, comparison_range)
+
+
+# -- fingerprint container (LBAudioDetectiveFingerprint.h) ------------------
+
+def LBAudioDetectiveFingerprintCopy(fp: Fingerprint) -> Fingerprint:
+    return fp.copy()
+
+
+def LBAudioDetectiveFingerprintGetSubfingerprintLength(fp: Fingerprint) -> int:
+    return fp.subfingerprint_length
+
+
+def LBAudioDetectiveFingerprintGetNumberOfSubfingerprints(fp: Fingerprint) -> int:
+    return fp.num_subfingerprints
+
+
+def LBAudioDetectiveFingerprintGetSubfingerprintAtIndex(fp: Fingerprint, index: int) -> np.ndarray:
+    return fp.subfingerprint_booleans(index)
+
+
+def LBAudioDetectiveFingerprintEqualToFingerprint(fp1: Fingerprint, fp2: Fingerprint) -> bool:
+    return fp1 == fp2
+
+
+def LBAudioDetectiveFingerprintCompareToFingerprint(fp1: Fingerprint, fp2: Fingerprint,
+                                                    comparison_range: int = 0) -> float:
+    return match_fingerprints((fp1.pos, fp1.neg), (fp2.pos, fp2.neg),
+                              comparison_range, fp1.subfingerprint_length)

@@ -1,0 +1,88 @@
+"""The Fingerprint value type.
+
+Mirrors the reference's LBAudioDetectiveFingerprint container
+(LBAudioDetectiveFingerprint.{h,m}): a sequence of fixed-length binary
+subfingerprints with copy/equality/compare semantics — but as an immutable
+array-backed value instead of an opaque realloc-grown ref.  Bits are held as
+two {0,1} uint8 planes (pos, neg) of shape ``[n_sub, pairs]`` in rank order;
+``packed()`` yields the canonical uint32 storage form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from lbaudiodetective_tpu.utils import packing
+
+
+@dataclasses.dataclass(frozen=True)
+class Fingerprint:
+    pos: np.ndarray                    # [n_sub, pairs] uint8 in {0,1}
+    neg: np.ndarray                    # [n_sub, pairs] uint8 in {0,1}
+    subfingerprint_length: int = 200   # stored booleans per subfingerprint
+
+    def __post_init__(self):
+        if self.pos.shape != self.neg.shape:
+            raise ValueError("pos/neg shape mismatch")
+
+    # -- reference getter analogues (LBAudioDetectiveFingerprint.m:64-76) ---
+
+    @property
+    def num_subfingerprints(self) -> int:
+        return int(self.pos.shape[0])
+
+    @property
+    def pairs(self) -> int:
+        return int(self.pos.shape[1])
+
+    def subfingerprint_booleans(self, index: int) -> np.ndarray:
+        """The stored boolean array of one subfingerprint, in the reference's
+        interleaved layout: bool[2j] = pos, bool[2j+1] = neg (quirk Q1)."""
+        out = np.zeros(self.subfingerprint_length, dtype=np.uint8)
+        out[0::2] = self.pos[index][: (self.subfingerprint_length + 1) // 2]
+        out[1::2] = self.neg[index][: self.subfingerprint_length // 2]
+        return out
+
+    # -- value semantics (LBAudioDetectiveFingerprintCopy / EqualTo) --------
+
+    def copy(self) -> "Fingerprint":
+        return Fingerprint(self.pos.copy(), self.neg.copy(), self.subfingerprint_length)
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Fingerprint):
+            return NotImplemented
+        return (self.subfingerprint_length == other.subfingerprint_length
+                and self.pos.shape == other.pos.shape
+                and bool(np.array_equal(self.pos, other.pos))
+                and bool(np.array_equal(self.neg, other.neg)))
+
+    def __hash__(self):
+        return hash((self.subfingerprint_length, self.pos.tobytes(), self.neg.tobytes()))
+
+    # -- packed storage form ------------------------------------------------
+
+    def packed(self) -> tuple[np.ndarray, np.ndarray]:
+        """(pos_words, neg_words) uint32 ``[n_sub, ceil(pairs/32)]``."""
+        return packing.pack_bits(self.pos), packing.pack_bits(self.neg)
+
+    @classmethod
+    def from_packed(cls, pos_words: np.ndarray, neg_words: np.ndarray,
+                    pairs: int, subfingerprint_length: int = 200) -> "Fingerprint":
+        return cls(packing.unpack_bits(pos_words, pairs),
+                   packing.unpack_bits(neg_words, pairs), subfingerprint_length)
+
+    @classmethod
+    def from_planes(cls, pos: np.ndarray, neg: np.ndarray,
+                    subfingerprint_length: int = 200) -> "Fingerprint":
+        return cls(np.ascontiguousarray(pos, np.uint8),
+                   np.ascontiguousarray(neg, np.uint8), subfingerprint_length)
+
+    def compare(self, other: "Fingerprint", comparison_range: int = 0) -> float:
+        """Offset-sliding match score in [0, 1]
+        (LBAudioDetectiveFingerprintCompareToFingerprint)."""
+        from lbaudiodetective_tpu.ops.match import match_fingerprints
+
+        return match_fingerprints((self.pos, self.neg), (other.pos, other.neg),
+                                  comparison_range, self.subfingerprint_length)

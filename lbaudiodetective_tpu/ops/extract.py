@@ -1,0 +1,147 @@
+"""Fingerprint extraction: audio -> packed binary subfingerprints, end to end
+on device.
+
+The pipeline (one fused jitted graph, batched over clips):
+
+    gather windows -> rfft -> Q5 scaling -> band matmul -> [rows, 32]
+    -> reshape to 128-row frames -> 2-D Haar (two MXU matmuls)
+    -> |coeff| top-k (rank order, stable tie-break) -> sign classes
+    -> (pos, neg) {0,1} planes [n_sub, pairs]
+
+This replaces the reference's per-window scalar hot loop and its NSNumber-boxed
+sort (LBAudioDetective.m:262-290, LBAudioDetectiveFrame.m:165-191).  Static
+shapes: clips are padded to a bucket length; the number of valid rows /
+subfingerprints travels alongside as data (SURVEY §7 padding discipline).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.io.decode import DecodedAudio
+from lbaudiodetective_tpu.ops import spectral
+from lbaudiodetective_tpu.ops.haar import haar_2d
+
+
+def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig
+                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``[..., n_rows, bands] -> (pos, neg)`` uint8 ``[..., n_sub, pairs]``.
+
+    ``n_rows`` must be a multiple of ``rows_per_frame``.  Rank order is
+    preserved: pos/neg column j corresponds to the j-th largest-|coefficient|
+    (ties break toward the lower flat index; lax.top_k is stable).
+    """
+    *lead, n_rows, bands = rows.shape
+    rpf = config.rows_per_frame
+    n_sub = n_rows // rpf
+    frames = rows.reshape(*lead, n_sub, rpf, bands)
+    coeffs = haar_2d(frames)
+    flat = coeffs.reshape(*lead, n_sub, rpf * bands)
+    k = config.num_wavelet_pairs
+    _, idx = jax.lax.top_k(jnp.abs(flat), k)
+    top = jnp.take_along_axis(flat, idx, axis=-1)
+    pos = (top > 0.0).astype(jnp.uint8)
+    neg = (top < 0.0).astype(jnp.uint8)
+    return pos, neg
+
+
+@partial(jax.jit, static_argnames=("config", "n_rows"))
+def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
+                               config: FingerprintConfig, n_rows: int
+                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Core jitted extraction over padded audio.
+
+    audio: ``[..., T]`` float32, padded so the last window fits
+           (``T >= floor((n_rows-1)*hop) + window``).
+    n_valid_sub: ``[...]`` int32, number of valid subfingerprints per clip;
+           trailing subfingerprints (computed from padding) are zeroed so
+           downstream code may rely on zero padding.
+    n_rows: static row count, a multiple of ``rows_per_frame``.
+
+    Returns (pos, neg) uint8 ``[..., n_sub, pairs]``.
+    """
+    if n_rows % config.rows_per_frame:
+        raise ValueError("n_rows must be a multiple of rows_per_frame")
+    starts = spectral.window_starts(config, n_rows)
+    windows = spectral.frame_windows(audio, starts, config.window_size)
+    rows = spectral.band_energies(windows, config)
+    pos, neg = subfingerprints_from_rows(rows, config)
+    n_sub = n_rows // config.rows_per_frame
+    valid = (jnp.arange(n_sub) < n_valid_sub[..., None]).astype(jnp.uint8)
+    return pos * valid[..., None], neg * valid[..., None]
+
+
+def required_padded_length(config: FingerprintConfig, n_rows: int) -> int:
+    """Minimum audio length (processing samples) for a static row count."""
+    if n_rows <= 0:
+        return config.window_size
+    starts = config.row_starts(n_rows)
+    return int(starts[-1]) + config.window_size
+
+
+def rows_for_subfingerprints(config: FingerprintConfig, n_sub: int) -> int:
+    return n_sub * config.rows_per_frame
+
+
+def bucket_subfingerprints(n_sub: int, granularity: int = 16) -> int:
+    """Round a subfingerprint count up to a bucket size so variable-length
+    clips share jit compilations (SURVEY §7: pad to bucket sizes)."""
+    if n_sub <= 0:
+        return 0
+    return ((n_sub + granularity - 1) // granularity) * granularity
+
+
+def extract_fingerprint(audio: DecodedAudio, config: FingerprintConfig | None = None,
+                        n_sub_max: int | None = None
+                        ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Convenience single-clip extraction: decoded audio -> (pos, neg, n_sub).
+
+    Pads to the clip's own subfingerprint count (or ``n_sub_max`` for shape
+    bucketing) and returns NumPy uint8 planes trimmed to valid length.
+    """
+    config = config or FingerprintConfig()
+    n_sub = config.num_subfingerprints(audio.file_frames, audio.proc_frames)
+    bucket = n_sub_max if n_sub_max is not None else bucket_subfingerprints(n_sub)
+    if bucket == 0:
+        pairs = config.num_wavelet_pairs
+        return (np.zeros((0, pairs), np.uint8), np.zeros((0, pairs), np.uint8), 0)
+    n_rows = rows_for_subfingerprints(config, bucket)
+    t_pad = required_padded_length(config, n_rows)
+    x = audio.samples
+    if x.shape[0] < t_pad:
+        x = np.concatenate([x, np.zeros(t_pad - x.shape[0], np.float32)])
+    else:
+        x = x[:t_pad]
+    pos, neg = extract_fingerprint_padded(
+        jnp.asarray(x), jnp.int32(n_sub), config, n_rows)
+    return np.asarray(pos)[:n_sub], np.asarray(neg)[:n_sub], n_sub
+
+
+def extract_fingerprint_batch(clips: list[DecodedAudio],
+                              config: FingerprintConfig | None = None
+                              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched extraction: pads all clips to one bucket and runs a single
+    dispatch.  Returns (pos, neg, n_sub) with shapes ``[B, S_max, pairs]`` /
+    ``[B]``; invalid subfingerprints are zeroed."""
+    config = config or FingerprintConfig()
+    n_subs = np.array([config.num_subfingerprints(c.file_frames, c.proc_frames)
+                       for c in clips], dtype=np.int32)
+    s_max = bucket_subfingerprints(int(n_subs.max(initial=0)))
+    if s_max == 0:
+        pairs = config.num_wavelet_pairs
+        b = len(clips)
+        return (np.zeros((b, 0, pairs), np.uint8), np.zeros((b, 0, pairs), np.uint8), n_subs)
+    n_rows = rows_for_subfingerprints(config, s_max)
+    t_pad = required_padded_length(config, n_rows)
+    batch = np.zeros((len(clips), t_pad), dtype=np.float32)
+    for i, c in enumerate(clips):
+        t = min(c.samples.shape[0], t_pad)
+        batch[i, :t] = c.samples[:t]
+    pos, neg = extract_fingerprint_padded(
+        jnp.asarray(batch), jnp.asarray(n_subs), config, n_rows)
+    return np.asarray(pos), np.asarray(neg), n_subs

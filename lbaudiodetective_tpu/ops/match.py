@@ -1,0 +1,144 @@
+"""Fingerprint matching as MXU matrix multiplication.
+
+The reference's matcher is a triple scalar loop: offsets x subfingerprints x
+bit-pairs (LBAudioDetectiveFingerprint.m:119-176).  The quirk-Q10 similarity
+factorises exactly into two inner products: encoding each subfingerprint as
+sign-class indicator planes P, N in {0,1}^pairs (never both set),
+
+    possible(fp1_j)    = sum_i (P1[j,i] | N1[j,i]) = sum_i P1[j,i] + N1[j,i]
+    hits(fp1_j, fp2_k) = sum_i P1[j,i]*P2[k,i] + N1[j,i]*N2[k,i]
+
+because a pair scores a hit iff fp1's class is nonzero and fp2's class equals
+it.  So the full [n1, n2] similarity matrix is two bf16 matmuls with f32
+accumulation (exact: products are 0/1, sums <= pairs < 2^24), and the
+offset-sliding score is a masked banded-diagonal mean + max.  One-vs-many
+matching batches the library axis through the same contraction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pair_mask(pairs: int, comparison_range: int, subfingerprint_length: int) -> np.ndarray:
+    """Quirk Q11: ``comparison_range`` caps *booleans* compared (0 -> all);
+    pairs beyond ceil(min(range, length)/2) are excluded."""
+    if comparison_range == 0:
+        comparison_range = subfingerprint_length
+    n_bools = min(comparison_range, subfingerprint_length)
+    n_pairs = (n_bools + 1) // 2
+    mask = np.zeros(pairs, dtype=np.float32)
+    mask[:n_pairs] = 1.0
+    return mask
+
+
+def similarity_matrix(pos1: jnp.ndarray, neg1: jnp.ndarray,
+                      pos2: jnp.ndarray, neg2: jnp.ndarray,
+                      pair_mask: jnp.ndarray) -> jnp.ndarray:
+    """``[..., n1, pairs] x [..., n2, pairs] -> [..., n1, n2]`` per-pair
+    similarity (hits / possibleHits, 0 where nothing possible)."""
+    m = pair_mask.astype(jnp.bfloat16)
+    p1 = pos1.astype(jnp.bfloat16) * m
+    n1 = neg1.astype(jnp.bfloat16) * m
+    p2 = pos2.astype(jnp.bfloat16)
+    n2 = neg2.astype(jnp.bfloat16)
+    hits = (jnp.einsum("...ip,...jp->...ij", p1, p2, preferred_element_type=jnp.float32)
+            + jnp.einsum("...ip,...jp->...ij", n1, n2, preferred_element_type=jnp.float32))
+    possible = jnp.sum((p1 + n1).astype(jnp.float32), axis=-1)      # [..., n1]
+    safe = jnp.maximum(possible, 1.0)
+    sim = hits / safe[..., :, None]
+    return jnp.where(possible[..., :, None] > 0.0, sim, 0.0)
+
+
+def offset_scores(sim: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:
+    """Offset-sliding max of banded-diagonal means.
+
+    sim: ``[..., S1, S2]`` similarity matrix (padded entries arbitrary).
+    n1, n2: ``[...]`` int32 valid counts, with n1 >= n2 (caller swaps).
+    Returns ``[...]`` float32 match scores, 0 when n2 == 0.
+
+    Replicates LBAudioDetectiveFingerprint.m:133-148: for offset o in
+    [0, n1-n2], score(o) = mean_{i<n2} sim[i+o, i]; result = max_o score(o).
+    """
+    s1, s2 = sim.shape[-2], sim.shape[-1]
+    o_max = s1  # enough to cover any n1 - n2 + 1 <= s1 offsets
+    i_idx = jnp.arange(s2)
+    o_idx = jnp.arange(o_max)
+    rows = jnp.minimum(o_idx[:, None] + i_idx[None, :], s1 - 1)   # [O, S2]
+    # Banded diagonals via one XLA gather with static index arrays.
+    band = sim[..., rows, i_idx[None, :]]                          # [..., O, S2]
+    i_valid = (i_idx[None, :] < n2[..., None, None]).astype(sim.dtype)
+    sums = jnp.sum(band * i_valid, axis=-1)
+    n2f = jnp.maximum(n2, 1).astype(sim.dtype)
+    means = sums / n2f[..., None]
+    o_valid = o_idx <= (n1 - n2)[..., None]
+    means = jnp.where(o_valid, means, 0.0)
+    score = jnp.max(means, axis=-1)
+    return jnp.where(n2 > 0, score, 0.0)
+
+
+@partial(jax.jit, static_argnames=("comparison_range", "subfingerprint_length"))
+def _match_padded(pos1, neg1, n1, pos2, neg2, n2,
+                  comparison_range: int, subfingerprint_length: int):
+    pairs = pos1.shape[-1]
+    mask = jnp.asarray(_pair_mask(pairs, comparison_range, subfingerprint_length))
+    # Swap so fp1 is the longer (LBAudioDetectiveFingerprint.m:123-131).
+    swap = n1 < n2
+    swap_b = swap.reshape(swap.shape + (1, 1))
+    pos_l = jnp.where(swap_b, pos2, pos1)
+    neg_l = jnp.where(swap_b, neg2, neg1)
+    pos_s = jnp.where(swap_b, pos1, pos2)
+    neg_s = jnp.where(swap_b, neg1, neg2)
+    n_l = jnp.where(swap, n2, n1)
+    n_s = jnp.where(swap, n1, n2)
+    sim = similarity_matrix(pos_l, neg_l, pos_s, neg_s, mask)
+    return offset_scores(sim, n_l, n_s)
+
+
+def match_fingerprints(fp1: tuple[np.ndarray, np.ndarray],
+                       fp2: tuple[np.ndarray, np.ndarray],
+                       comparison_range: int = 0,
+                       subfingerprint_length: int = 200) -> float:
+    """One-vs-one match score between two (pos, neg) uint8 fingerprints."""
+    from lbaudiodetective_tpu.ops.extract import bucket_subfingerprints
+
+    (pos1, neg1), (pos2, neg2) = fp1, fp2
+    n1, n2 = pos1.shape[0], pos2.shape[0]
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    s = bucket_subfingerprints(max(n1, n2))  # shared jit cache across lengths
+    pairs = pos1.shape[1]
+
+    def pad(a):
+        out = np.zeros((s, pairs), dtype=np.uint8)
+        out[:a.shape[0]] = a
+        return jnp.asarray(out)
+
+    score = _match_padded(pad(pos1), pad(neg1), jnp.int32(n1),
+                          pad(pos2), pad(neg2), jnp.int32(n2),
+                          comparison_range, subfingerprint_length)
+    return float(score)
+
+
+@partial(jax.jit, static_argnames=("comparison_range", "subfingerprint_length"))
+def match_one_vs_many_padded(query_pos, query_neg, n_query,
+                             lib_pos, lib_neg, n_lib,
+                             comparison_range: int = 0,
+                             subfingerprint_length: int = 200):
+    """Query vs a padded fingerprint library.
+
+    query: ``[Sq, pairs]`` uint8 planes + scalar count; library:
+    ``[L, Sl, pairs]`` + ``[L]`` counts.  Returns ``[L]`` match scores.  The
+    library axis batches the similarity matmuls (MXU) and the banded-diagonal
+    reduction.
+    """
+    l = lib_pos.shape[0]
+    qp = jnp.broadcast_to(query_pos[None], (l, *query_pos.shape))
+    qn = jnp.broadcast_to(query_neg[None], (l, *query_neg.shape))
+    nq = jnp.broadcast_to(n_query, (l,))
+    return _match_padded(lib_pos, lib_neg, n_lib, qp, qn, nq,
+                         comparison_range, subfingerprint_length)

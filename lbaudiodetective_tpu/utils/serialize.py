@@ -1,0 +1,94 @@
+"""Canonical on-disk fingerprint format.
+
+The reference only sketches serialization (a test-only string form,
+LBAudioDetectiveTests.m:22-37); the essay's server stores fingerprints in a DB
+(PDF §3.2.5).  Here fingerprints persist as ``.npz`` with packed uint32 planes
+plus a parameter hash, so a library DB can be memory-mapped/sharded and a
+loaded fingerprint refuses to match against one extracted under different
+parameters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+
+FORMAT_VERSION = 1
+
+
+def config_params_hash(config: FingerprintConfig) -> str:
+    payload = json.dumps({
+        "processing_sample_rate": config.processing_sample_rate,
+        "window_size": config.window_size,
+        "analysis_stride": config.analysis_stride,
+        "pitch_step_count": config.pitch_step_count,
+        "rows_per_frame": config.rows_per_frame,
+        "subfingerprint_length": config.subfingerprint_length,
+        "min_frequency": config.min_frequency,
+        "hop_domain": config.hop_domain,
+        "file_sample_rate": config.file_sample_rate,
+    }, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def save_fingerprint(path: str, fp: Fingerprint, config: FingerprintConfig) -> None:
+    pos_words, neg_words = fp.packed()
+    np.savez_compressed(
+        path,
+        version=np.int32(FORMAT_VERSION),
+        pos=pos_words, neg=neg_words,
+        pairs=np.int32(fp.pairs),
+        subfingerprint_length=np.int32(fp.subfingerprint_length),
+        params_hash=np.bytes_(config_params_hash(config).encode()),
+    )
+
+
+def load_fingerprint(path: str, config: FingerprintConfig | None = None) -> Fingerprint:
+    with np.load(path) as z:
+        if int(z["version"]) != FORMAT_VERSION:
+            raise ValueError(f"unsupported fingerprint format version {int(z['version'])}")
+        if config is not None:
+            stored = bytes(z["params_hash"]).decode()
+            if stored != config_params_hash(config):
+                raise ValueError(
+                    "fingerprint parameter hash mismatch: extracted under a "
+                    f"different configuration ({stored})")
+        return Fingerprint.from_packed(z["pos"], z["neg"], int(z["pairs"]),
+                                       int(z["subfingerprint_length"]))
+
+
+def save_library(path: str, fps: list[Fingerprint], config: FingerprintConfig) -> None:
+    """Padded library DB: one file, ``[L, S_max, words]`` planes + counts."""
+    if not fps:
+        raise ValueError("empty library")
+    pairs = fps[0].pairs
+    s_max = max(f.num_subfingerprints for f in fps)
+    packed = [f.packed() for f in fps]
+    words = packed[0][0].shape[-1] if s_max else (pairs + 31) // 32
+    pos = np.zeros((len(fps), s_max, words), np.uint32)
+    neg = np.zeros((len(fps), s_max, words), np.uint32)
+    counts = np.zeros(len(fps), np.int32)
+    for i, (p, n) in enumerate(packed):
+        counts[i] = p.shape[0]
+        pos[i, :p.shape[0]] = p
+        neg[i, :n.shape[0]] = n
+    np.savez_compressed(path, version=np.int32(FORMAT_VERSION), pos=pos, neg=neg,
+                        counts=counts, pairs=np.int32(pairs),
+                        subfingerprint_length=np.int32(fps[0].subfingerprint_length),
+                        params_hash=np.bytes_(config_params_hash(config).encode()))
+
+
+def load_library(path: str, config: FingerprintConfig | None = None
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Returns (pos_words [L,S,W], neg_words, counts [L], pairs)."""
+    with np.load(path) as z:
+        if config is not None:
+            stored = bytes(z["params_hash"]).decode()
+            if stored != config_params_hash(config):
+                raise ValueError("library parameter hash mismatch")
+        return z["pos"], z["neg"], z["counts"], int(z["pairs"])

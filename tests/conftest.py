@@ -1,0 +1,122 @@
+"""Test harness configuration.
+
+All tests run on the CPU backend with 8 virtual devices
+(xla_force_host_platform_device_count) — the standard JAX way to exercise
+pjit/shard_map/collectives without a pod (SURVEY.md §4).  These env vars must
+be set before `import jax`, hence this file sets them at import time.
+
+Corpus decode + oracle fingerprints are disk-cached under tests/_cache so
+repeated runs are fast.
+"""
+
+import os
+import pathlib
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+existing_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in existing_flags:
+    os.environ["XLA_FLAGS"] = (
+        existing_flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+CORPUS = pathlib.Path("/root/reference/LBAudioDetectiveTests/Birds")
+CACHE = REPO_ROOT / "tests" / "_cache"
+CACHE.mkdir(exist_ok=True)
+
+# Persistent XLA compilation cache: repeated test runs skip recompilation.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(CACHE / "xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+BIRDS = ["BlackBird", "BlueTit", "Chaffinch", "Sparrow", "GreatTit",
+         "Crow", "Wren", "Chiffchaff", "Kestrel", "Pigeon"]
+SUFFIX_DIRS = {"_eql": "Cropped/Equal", "_dif": "Cropped/Different",
+               "_blu1": "Cropped/Blurred", "_blu2": "Cropped/Blurred",
+               "_rec": "Cropped/Recorded"}
+
+
+def corpus_path(name: str) -> str:
+    """Resolve a corpus clip name like 'BlackBird' or 'Wren_blu1' to a path."""
+    for suffix, sub in SUFFIX_DIRS.items():
+        if name.endswith(suffix):
+            return str(CORPUS / sub / f"{name}.caf")
+    return str(CORPUS / "Archive" / f"{name}.caf")
+
+
+class _LazyDict:
+    """Dict-like that computes and disk-caches entries on first access."""
+
+    def __init__(self, loader):
+        self._loader = loader
+        self._data = {}
+
+    def __getitem__(self, name):
+        if name not in self._data:
+            self._data[name] = self._loader(name)
+        return self._data[name]
+
+    def keys(self):
+        names = list(BIRDS)
+        for suffix in SUFFIX_DIRS:
+            names += [b + suffix for b in BIRDS]
+        return names
+
+    def items(self):
+        return ((n, self[n]) for n in self.keys())
+
+
+@pytest.fixture(scope="session")
+def decoded_corpus():
+    """name -> DecodedAudio, computed lazily and disk-cached."""
+    from lbaudiodetective_tpu.io.decode import DecodedAudio, decode_audio_file
+
+    def load(name):
+        cache_file = CACHE / f"decoded_{name}.npz"
+        if cache_file.exists():
+            z = np.load(cache_file)
+            return DecodedAudio(samples=z["samples"],
+                                processing_rate=float(z["processing_rate"]),
+                                file_frames=int(z["file_frames"]),
+                                file_rate=float(z["file_rate"]))
+        d = decode_audio_file(corpus_path(name))
+        np.savez(cache_file, samples=d.samples, processing_rate=d.processing_rate,
+                 file_frames=d.file_frames, file_rate=d.file_rate)
+        return d
+
+    return _LazyDict(load)
+
+
+@pytest.fixture(scope="session")
+def oracle_fingerprints(decoded_corpus):
+    """name -> (pos, neg) golden-oracle fingerprints, lazy + disk-cached."""
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.oracle.pipeline import oracle_fingerprint
+
+    cfg = FingerprintConfig()
+
+    def load(name):
+        cache_file = CACHE / f"oracle_{name}.npz"
+        if cache_file.exists():
+            z = np.load(cache_file)
+            return (z["pos"], z["neg"])
+        pos, neg = oracle_fingerprint(decoded_corpus[name], cfg)
+        np.savez(cache_file, pos=pos, neg=neg)
+        return (pos, neg)
+
+    return _LazyDict(load)
+
+
+@pytest.fixture(scope="session")
+def default_config():
+    from lbaudiodetective_tpu.config import FingerprintConfig
+
+    return FingerprintConfig()

@@ -1,0 +1,60 @@
+"""JAX extraction vs golden oracle: bit-level and score-level parity
+(SURVEY §4 'bit-exactness tests JAX vs NumPy oracle per clip')."""
+
+import numpy as np
+
+from lbaudiodetective_tpu.ops.extract import (
+    extract_fingerprint, extract_fingerprint_batch)
+from lbaudiodetective_tpu.ops.match import match_fingerprints
+from lbaudiodetective_tpu.oracle.pipeline import oracle_match_fingerprints
+
+CLIPS = ["BlackBird", "BlackBird_eql", "Wren_dif", "Crow_blu1", "Pigeon_rec"]
+
+
+def test_bits_match_oracle(decoded_corpus, oracle_fingerprints, default_config):
+    for name in CLIPS:
+        pos, neg, n_sub = extract_fingerprint(decoded_corpus[name], default_config)
+        opos, oneg = oracle_fingerprints[name]
+        assert n_sub == opos.shape[0], name
+        agreement = ((pos[:n_sub] == opos).mean() + (neg[:n_sub] == oneg).mean()) / 2
+        assert agreement >= 0.995, f"{name}: bit agreement {agreement:.4f}"
+
+
+def test_batch_extraction_matches_single(decoded_corpus, default_config):
+    clips = [decoded_corpus[n] for n in CLIPS[:3]]
+    bpos, bneg, n_subs = extract_fingerprint_batch(clips, default_config)
+    for i, c in enumerate(clips):
+        pos, neg, n = extract_fingerprint(c, default_config)
+        assert n == n_subs[i]
+        np.testing.assert_array_equal(bpos[i, :n], pos[:n])
+        np.testing.assert_array_equal(bneg[i, :n], neg[:n])
+    # Padding rows must be zeroed.
+    for i in range(len(clips)):
+        assert bpos[i, n_subs[i]:].sum() == 0
+        assert bneg[i, n_subs[i]:].sum() == 0
+
+
+def test_scores_match_oracle(decoded_corpus, oracle_fingerprints, default_config):
+    pairs = [("BlackBird", "BlackBird_eql"), ("BlackBird", "Wren_dif")]
+    for a, b in pairs:
+        ja = extract_fingerprint(decoded_corpus[a], default_config)
+        jb = extract_fingerprint(decoded_corpus[b], default_config)
+        jax_score = match_fingerprints((ja[0][:ja[2]], ja[1][:ja[2]]),
+                                       (jb[0][:jb[2]], jb[1][:jb[2]]))
+        oracle_score = oracle_match_fingerprints(
+            oracle_fingerprints[a], oracle_fingerprints[b])
+        assert abs(jax_score - oracle_score) < 0.01, (a, b, jax_score, oracle_score)
+
+
+def test_determinism(decoded_corpus, default_config):
+    """Reference testFingerprintVersatility (Tests.m:119-139): repeated
+    extraction must produce identical fingerprints."""
+    a1 = extract_fingerprint(decoded_corpus["BlueTit"], default_config)
+    a2 = extract_fingerprint(decoded_corpus["BlueTit"], default_config)
+    np.testing.assert_array_equal(a1[0], a2[0])
+    np.testing.assert_array_equal(a1[1], a2[1])
+
+
+def test_pos_neg_mutually_exclusive(decoded_corpus, default_config):
+    pos, neg, n = extract_fingerprint(decoded_corpus["Kestrel"], default_config)
+    assert ((pos & neg) == 0).all()

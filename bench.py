@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract: prints ONE JSON line on stdout).
+
+Primary metric: 10-second clips fingerprinted per second per chip in the
+*parity* configuration (hop_domain='file', the calibrated reference-faithful
+mode: ~6850 spectrogram rows / 53 subfingerprints per 10 s clip).
+vs_baseline is relative to the BASELINE.json target of 10k clips/s/chip.
+
+Secondary metrics (written to bench_details.json): spec-corrected 'proc'
+hop mode throughput (8x fewer rows — what a fresh deployment would run),
+fingerprint pair-compare throughput one-vs-library, and subfingerprint
+compare rate.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _synth_clips(batch: int, t_pad: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    # Band-limited noise-ish audio: white noise through a crude lowpass.
+    x = rng.standard_normal((batch, t_pad)).astype(np.float32) * 0.1
+    return np.cumsum(x, axis=1) * 0.05  # brownish spectrum, nonzero bands
+
+
+def _timed(fn, iters: int):
+    """Honest wall timing on backends with fire-and-forget dispatch.
+
+    ``fn(carry) -> (result, carry)`` must thread a data dependency through
+    ``carry`` so iterations serialise; completion is forced by a host fetch
+    of the final carry (block_until_ready alone does not wait on the axon
+    relay backend).
+    """
+    carry = jnp.float32(0.0)
+    _, carry = fn(carry)         # warm / compile
+    float(np.asarray(carry))
+    carry = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, carry = fn(carry)
+    float(np.asarray(carry))     # fetch forces full pipeline completion
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_extract(config, batch: int, clip_seconds: float = 10.0, iters: int = 3):
+    from lbaudiodetective_tpu.ops.extract import (
+        bucket_subfingerprints, extract_fingerprint_padded,
+        required_padded_length)
+
+    file_frames = int(clip_seconds * config.file_sample_rate)
+    proc_frames = int(clip_seconds * config.processing_sample_rate)
+    n_sub = config.num_subfingerprints(file_frames, proc_frames)
+    n_rows = bucket_subfingerprints(n_sub) * config.rows_per_frame
+    t_pad = required_padded_length(config, n_rows)
+    audio = jnp.asarray(_synth_clips(batch, t_pad))
+    n_subs = jnp.full((batch,), n_sub, jnp.int32)
+
+    @jax.jit
+    def step(carry):
+        pos, neg = extract_fingerprint_padded(audio + carry * 0.0, n_subs,
+                                              config, n_rows)
+        return (pos, neg), carry + pos[0, 0, 0].astype(jnp.float32)
+
+    dt = _timed(step, iters)
+    return batch / dt, dt
+
+
+def bench_match(config, library_size: int, s_max: int = 64, iters: int = 5):
+    from lbaudiodetective_tpu.ops.match import match_one_vs_many_padded
+
+    rng = np.random.default_rng(1)
+    pairs = config.num_wavelet_pairs
+    cls = rng.choice(3, size=(library_size, s_max, pairs))
+    lib_pos = jnp.asarray((cls == 1).astype(np.uint8))
+    lib_neg = jnp.asarray((cls == 2).astype(np.uint8))
+    n_lib = jnp.full((library_size,), s_max, jnp.int32)
+    qcls = rng.choice(3, size=(s_max, pairs))
+    q_pos = jnp.asarray((qcls == 1).astype(np.uint8))
+    q_neg = jnp.asarray((qcls == 2).astype(np.uint8))
+    nq = jnp.int32(s_max // 2)
+
+    @jax.jit
+    def step(carry):
+        scores = match_one_vs_many_padded(
+            q_pos + (carry * 0.0).astype(jnp.uint8), q_neg, nq,
+            lib_pos, lib_neg, n_lib, 0, config.subfingerprint_length)
+        return scores, carry + scores[0]
+
+    dt = _timed(step, iters)
+    pair_compares = library_size / dt                       # full offset-slide compares
+    # Subfingerprint-level comparisons: offsets * n2 per pair.
+    sub_compares = library_size * (s_max // 2 + 1) * (s_max // 2) / dt
+    return pair_compares, sub_compares, dt
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from lbaudiodetective_tpu.config import FingerprintConfig
+
+    details = {"device": str(jax.devices()[0]), "jax": jax.__version__}
+
+    parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
+    proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected
+
+    batch = 8 if quick else 32
+    clips_per_sec, dt = bench_extract(parity_cfg, batch=batch)
+    details["extract_parity_clips_per_sec"] = clips_per_sec
+    details["extract_parity_batch"] = batch
+    details["extract_parity_step_seconds"] = dt
+
+    batch_p = 32 if quick else 256
+    clips_proc, dt_p = bench_extract(proc_cfg, batch=batch_p)
+    details["extract_proc_clips_per_sec"] = clips_proc
+    details["extract_proc_batch"] = batch_p
+    details["extract_proc_step_seconds"] = dt_p
+
+    lib = 1024 if quick else 4096
+    pair_cps, sub_cps, dt_m = bench_match(parity_cfg, library_size=lib)
+    details["match_pair_compares_per_sec"] = pair_cps
+    details["match_subfingerprint_compares_per_sec"] = sub_cps
+    details["match_library_size"] = lib
+
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
+
+    result = {
+        "metric": "10s clips fingerprinted/sec/chip (parity mode)",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / 10000.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

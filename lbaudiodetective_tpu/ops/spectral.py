@@ -53,20 +53,35 @@ def packed_spectrum(windows: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return re[..., : n // 2], im[..., : n // 2]
 
 
-def band_energies(windows: jnp.ndarray, config: FingerprintConfig) -> jnp.ndarray:
+def band_energies(windows: jnp.ndarray, config: FingerprintConfig,
+                  use_matmul_dft: bool = True) -> jnp.ndarray:
     """``[..., window] -> [..., pitch_step_count]`` band energies.
 
     Quirk Q5: positive spectrum components are divided by
     ``config.spectrum_scale_divisor`` (=512 for the default window), negative
     ones keep full magnitude; energy = re^2 + im^2 summed per band / width.
+
+    When every consumed bin lies strictly inside (0, window/2) — true for the
+    default config, bins [86, 760) — the spectrum comes from the MXU matmul
+    DFT (ops.dft) restricted to those bins; otherwise falls back to the full
+    packed rfft.
     """
-    re, im = packed_spectrum(windows)
+    from lbaudiodetective_tpu.ops.dft import rdft_bins
+
+    ranges = config.band_bin_ranges
+    lo, hi = int(ranges[:, 0].min()), int(ranges[:, 1].max())
     div = jnp.float32(config.spectrum_scale_divisor)
+    n = windows.shape[-1]
+    if use_matmul_dft and 1 <= lo and hi <= n // 2 and n % 16 == 0:
+        re, im = rdft_bins(windows, lo, hi)
+        proj = jnp.asarray(band_projection_matrix(config)[lo:hi])
+    else:
+        re, im = packed_spectrum(windows)
+        proj = jnp.asarray(band_projection_matrix(config))
     re = jnp.where(re > 0.0, re / div, re)
     im = jnp.where(im > 0.0, im / div, im)
     v = re * re + im * im
     v = jnp.where(jnp.isfinite(v), v, 0.0)
-    proj = jnp.asarray(band_projection_matrix(config))
     # HIGHEST precision: the TPU default would truncate the energies to bf16.
     return jnp.einsum("...k,kb->...b", v, proj, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in existing_flags:
     os.environ["XLA_FLAGS"] = (
         existing_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The container's sitecustomize imports jax (TPU plugin registration) before
+# this conftest runs, so the env var above may be captured too late -- force
+# the platform through the live config object as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
@@ -31,8 +38,6 @@ CACHE = REPO_ROOT / "tests" / "_cache"
 CACHE.mkdir(exist_ok=True)
 
 # Persistent XLA compilation cache: repeated test runs skip recompilation.
-import jax  # noqa: E402
-
 jax.config.update("jax_compilation_cache_dir", str(CACHE / "xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,244 @@
+"""Streaming (incremental) fingerprint extraction.
+
+TPU-native replacement for the essay's AUGraph/RemoteIO streaming capture
+(reference essay Appendix E: render callback accumulates samples; each filled
+window appends a spectrogram row; each 128-row frame appends a subfingerprint;
+Start/Stop/Pause/Resume + completion callback).  Here:
+
+- 256-way (configurable B) *lockstep* stream batching: every stream receives
+  the same-sized chunk per step, so all shape-determining state (row counter,
+  frame fill) is global and the device step compiles ONCE.
+- Device state: an audio ring buffer ``[B, L]`` and a spectrogram-row ring
+  ``[B, 256, bands]``.  The host precomputes (exact integer/float64 math,
+  identical to the offline oracle) which rows complete in a step and which
+  frames finish; those arrive as *data* (index arrays + masks), never as
+  shapes.
+- Each step: scatter chunk -> gather up-to-R_max windows (mod ring) ->
+  band energies -> scatter rows -> for up to F_max completed frames, gather
+  128 rows, Haar + top-k sign extraction -> masked subfingerprint outputs.
+
+Incremental output is bit-identical to the offline extractor over the
+concatenated stream (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.ops import spectral
+from lbaudiodetective_tpu.ops.extract import subfingerprints_from_rows
+
+_ROWS_RING = 256  # power of two >= 2 * rows_per_frame
+
+
+@partial(jax.jit, static_argnames=("config", "r_max", "f_max", "l_buf"))
+def _stream_step(audio_ring, rows_ring, chunk, write_pos,
+                 row_starts, row_valid, row_slots,
+                 frame_first_rows, frame_valid,
+                 config: FingerprintConfig, r_max: int, f_max: int, l_buf: int):
+    """One lockstep streaming step (single compiled program).
+
+    audio_ring: [B, l_buf] f32; rows_ring: [B, 256, bands] f32;
+    chunk: [B, C] f32; write_pos: scalar int32 (mod l_buf);
+    row_starts: [r_max] int32 window starts mod l_buf; row_valid: [r_max] bool;
+    row_slots: [r_max] int32 destination slots in rows_ring (mod 256);
+    frame_first_rows: [f_max] int32 first row-slot of each completed frame;
+    frame_valid: [f_max] bool.
+    """
+    b, c = chunk.shape
+    window = config.window_size
+
+    # 1) Write the chunk into the audio ring.
+    pos = (write_pos + jnp.arange(c, dtype=jnp.int32)) % l_buf
+    audio_ring = audio_ring.at[:, pos].set(chunk)
+
+    # 2) Gather windows for (up to) r_max new rows and compute band energies.
+    idx = (row_starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]) % l_buf
+    windows = audio_ring[:, idx]                      # [B, r_max, window]
+    rows = spectral.band_energies(windows, config)    # [B, r_max, bands]
+    rows = jnp.where(row_valid[None, :, None], rows, 0.0)
+
+    # 3) Scatter the valid rows into the rows ring.
+    safe_slots = jnp.where(row_valid, row_slots, _ROWS_RING)  # OOB -> dropped
+    rows_ring = rows_ring.at[:, safe_slots, :].set(rows, mode="drop")
+
+    # 4) Extract subfingerprints for completed frames.
+    rpf = config.rows_per_frame
+    frame_rows_idx = (frame_first_rows[:, None]
+                      + jnp.arange(rpf, dtype=jnp.int32)[None, :]) % _ROWS_RING
+    frames = rows_ring[:, frame_rows_idx, :]          # [B, f_max, rpf, bands]
+    frames_flat = frames.reshape(b, f_max * rpf, frames.shape[-1])
+    pos_bits, neg_bits = subfingerprints_from_rows(frames_flat, config)
+    valid = frame_valid[None, :, None].astype(jnp.uint8)
+    return audio_ring, rows_ring, pos_bits * valid, neg_bits * valid
+
+
+@dataclasses.dataclass
+class StreamingExtractor:
+    """Incremental extractor for B lockstep streams.
+
+    Feed fixed-size chunks with :meth:`feed`; completed subfingerprints are
+    returned per call and accumulated on :attr:`collected`.
+    """
+
+    batch: int
+    chunk_size: int = 1024
+    config: FingerprintConfig = dataclasses.field(default_factory=FingerprintConfig)
+
+    def __post_init__(self):
+        cfg = self.config
+        self.hop = cfg.hop_in_processing_samples
+        self.r_max = int(np.ceil(self.chunk_size / self.hop)) + 1
+        self.f_max = max(1, (self.r_max + cfg.rows_per_frame - 1) // cfg.rows_per_frame + 1)
+        need = cfg.window_size + self.chunk_size
+        self.l_buf = 1 << int(np.ceil(np.log2(need)))
+        self.reset()
+
+    def reset(self, keep_collected: bool = False) -> None:
+        """Clear stream state (essay's LBAudioDetectiveReset)."""
+        cfg = self.config
+        self.audio_ring = jnp.zeros((self.batch, self.l_buf), jnp.float32)
+        self.rows_ring = jnp.zeros((self.batch, _ROWS_RING, cfg.pitch_step_count),
+                                   jnp.float32)
+        self.total_samples = 0
+        self.rows_done = 0
+        if not keep_collected:
+            self.collected: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def _row_start(self, r: int) -> int:
+        """Absolute window start of row r — same float64 floor as the oracle."""
+        return int(np.floor(np.float64(r) * np.float64(self.hop)))
+
+    def feed(self, chunk: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
+        """Feed ``[B, chunk_size]`` samples; returns (pos, neg, n_completed)
+        where pos/neg are ``[B, n_completed, pairs]`` for frames completed in
+        this step."""
+        cfg = self.config
+        if chunk.shape != (self.batch, self.chunk_size):
+            raise ValueError(f"chunk must be [{self.batch}, {self.chunk_size}]")
+        new_total = self.total_samples + self.chunk_size
+
+        # Rows whose window now fits entirely in the received samples.
+        r0 = self.rows_done
+        r_end = r0
+        while (self._row_start(r_end) + cfg.window_size <= new_total
+               and r_end - r0 < self.r_max):
+            r_end += 1
+        n_new = r_end - r0
+
+        row_starts = np.zeros(self.r_max, np.int32)
+        row_valid = np.zeros(self.r_max, bool)
+        row_slots = np.zeros(self.r_max, np.int32)
+        for j in range(n_new):
+            r = r0 + j
+            row_starts[j] = self._row_start(r) % self.l_buf
+            row_slots[j] = r % _ROWS_RING
+            row_valid[j] = True
+
+        # Frames completed by these rows.
+        f0 = r0 // cfg.rows_per_frame
+        f1 = r_end // cfg.rows_per_frame
+        frame_first = np.zeros(self.f_max, np.int32)
+        frame_valid = np.zeros(self.f_max, bool)
+        for i, f in enumerate(range(f0, min(f1, f0 + self.f_max))):
+            frame_first[i] = (f * cfg.rows_per_frame) % _ROWS_RING
+            frame_valid[i] = True
+
+        self.audio_ring, self.rows_ring, pos, neg = _stream_step(
+            self.audio_ring, self.rows_ring, jnp.asarray(chunk, jnp.float32),
+            jnp.int32(self.total_samples % self.l_buf),
+            jnp.asarray(row_starts), jnp.asarray(row_valid), jnp.asarray(row_slots),
+            jnp.asarray(frame_first), jnp.asarray(frame_valid),
+            cfg, self.r_max, self.f_max, self.l_buf)
+
+        self.total_samples = new_total
+        self.rows_done = r_end
+        n_completed = int(frame_valid.sum())
+        pos = np.asarray(pos)[:, :n_completed]
+        neg = np.asarray(neg)[:, :n_completed]
+        if n_completed:
+            self.collected.append((pos, neg))
+        return pos, neg, n_completed
+
+    def fingerprints(self) -> list[Fingerprint]:
+        """One Fingerprint per stream from all collected subfingerprints."""
+        if not self.collected:
+            pairs = self.config.num_wavelet_pairs
+            empty = np.zeros((0, pairs), np.uint8)
+            return [Fingerprint.from_planes(empty, empty,
+                                            self.config.subfingerprint_length)
+                    for _ in range(self.batch)]
+        pos = np.concatenate([p for p, _ in self.collected], axis=1)
+        neg = np.concatenate([n for _, n in self.collected], axis=1)
+        return [Fingerprint.from_planes(pos[i], neg[i],
+                                        self.config.subfingerprint_length)
+                for i in range(self.batch)]
+
+
+class StreamingDetective:
+    """Essay-style single-stream API: Start/Stop/Pause/Resume + callback
+    (reference essay Appendix E: LBAudioDetectiveStartProcessing et al.)."""
+
+    def __init__(self, config: FingerprintConfig | None = None,
+                 chunk_size: int = 1024):
+        self.config = config or FingerprintConfig()
+        self.chunk_size = chunk_size
+        self._extractor: StreamingExtractor | None = None
+        self._callback = None
+        self._max_subfingerprints = 0
+        self._running = False
+        self._pending = np.zeros(0, np.float32)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start_processing(self, max_subfingerprints: int, callback) -> None:
+        self._extractor = StreamingExtractor(batch=1, chunk_size=self.chunk_size,
+                                             config=self.config)
+        self._callback = callback
+        self._max_subfingerprints = max_subfingerprints
+        self._running = True
+        self._pending = np.zeros(0, np.float32)
+
+    def pause_processing(self) -> None:
+        self._running = False
+
+    def resume_processing(self) -> None:
+        if self._extractor is None:
+            raise RuntimeError("start_processing first")
+        self._running = True
+
+    def stop_processing(self) -> Fingerprint:
+        """Synthesize the fingerprint from everything processed so far."""
+        self._running = False
+        if self._extractor is None:
+            raise RuntimeError("start_processing first")
+        return self._extractor.fingerprints()[0]
+
+    # -- data ingestion (the render-callback analogue) ----------------------
+
+    def process_samples(self, samples: np.ndarray) -> None:
+        """Feed mono float32 samples at the processing rate; invokes the
+        completion callback once max_subfingerprints frames are done."""
+        if not self._running:
+            return
+        ext = self._extractor
+        self._pending = np.concatenate([self._pending,
+                                        np.asarray(samples, np.float32)])
+        while self._running and self._pending.shape[0] >= self.chunk_size:
+            chunk = self._pending[None, :self.chunk_size]
+            self._pending = self._pending[self.chunk_size:]
+            ext.feed(chunk)
+            n_done = sum(p.shape[1] for p, _ in ext.collected)
+            if n_done >= self._max_subfingerprints:
+                self._running = False
+                if self._callback is not None:
+                    self._callback(self.stop_processing())
+                break

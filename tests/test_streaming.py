@@ -1,0 +1,79 @@
+"""Streaming runtime: incremental extraction must be bit-identical to the
+offline extractor over the concatenated stream (SURVEY §4.5)."""
+
+import numpy as np
+import pytest
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.io.decode import DecodedAudio
+from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+from lbaudiodetective_tpu.streaming.runtime import StreamingDetective, StreamingExtractor
+
+
+def _offline_reference(audio_batch, cfg, n_rows_avail):
+    """Offline bits for streams: synthesize file_frames so the offline row
+    count equals the stream-available rows."""
+    out = []
+    for x in audio_batch:
+        file_frames = n_rows_avail * cfg.analysis_stride + cfg.window_size
+        d = DecodedAudio(samples=x, processing_rate=cfg.processing_sample_rate,
+                         file_frames=file_frames, file_rate=cfg.file_sample_rate)
+        pos, neg, n = extract_fingerprint(d, cfg)
+        out.append((pos[:n], neg[:n]))
+    return out
+
+
+@pytest.mark.parametrize("hop_domain", ["file", "proc"])
+def test_incremental_equals_offline(hop_domain):
+    cfg = FingerprintConfig(hop_domain=hop_domain)
+    batch, chunk = 3, 1024
+    n_steps = 5
+    total = chunk * n_steps
+    rng = np.random.default_rng(30)
+    audio = (rng.standard_normal((batch, total)) * 0.1).astype(np.float32)
+
+    ext = StreamingExtractor(batch=batch, chunk_size=chunk, config=cfg)
+    for s in range(n_steps):
+        ext.feed(audio[:, s * chunk:(s + 1) * chunk])
+    fps = ext.fingerprints()
+
+    n_rows_avail = ext.rows_done
+    refs = _offline_reference(audio, cfg, n_rows_avail)
+    n_sub = n_rows_avail // cfg.rows_per_frame
+    for b in range(batch):
+        assert fps[b].num_subfingerprints == n_sub
+        np.testing.assert_array_equal(fps[b].pos, refs[b][0][:n_sub],
+                                      err_msg=f"stream {b} pos ({hop_domain})")
+        np.testing.assert_array_equal(fps[b].neg, refs[b][1][:n_sub],
+                                      err_msg=f"stream {b} neg ({hop_domain})")
+
+
+def test_reset_clears_state():
+    cfg = FingerprintConfig()
+    ext = StreamingExtractor(batch=2, chunk_size=1024, config=cfg)
+    rng = np.random.default_rng(31)
+    a = (rng.standard_normal((2, 1024)) * 0.1).astype(np.float32)
+    for _ in range(3):
+        ext.feed(a)
+    assert ext.rows_done > 0
+    ext.reset()
+    assert ext.rows_done == 0 and ext.total_samples == 0 and not ext.collected
+
+
+def test_streaming_detective_lifecycle():
+    cfg = FingerprintConfig()
+    det = StreamingDetective(cfg, chunk_size=1024)
+    done = []
+    det.start_processing(max_subfingerprints=1, callback=done.append)
+    rng = np.random.default_rng(32)
+    # 1 subfingerprint needs 128 rows: ~128*8 + 2048 ~ 3072 samples in file
+    # mode; 2048 samples cannot complete a frame yet.
+    det.process_samples((rng.standard_normal(2048) * 0.1).astype(np.float32))
+    assert not done
+    det.pause_processing()
+    det.process_samples(np.zeros(8192, np.float32))  # ignored while paused
+    assert not done
+    det.resume_processing()
+    det.process_samples((rng.standard_normal(8192) * 0.1).astype(np.float32))
+    assert len(done) == 1
+    assert done[0].num_subfingerprints >= 1

@@ -83,6 +83,13 @@ def resample_rational(x: np.ndarray, fs_in: float, fs_out: float,
     up, down = _reduce_ratio(fs_in, fs_out)
     if bank is None:
         bank = design_polyphase_bank(up, down)
+    try:
+        from lbaudiodetective_tpu.io.native import binding as native
+
+        if native.available():
+            return native.resample(np.asarray(x, np.float32), bank, up, down)
+    except Exception:
+        pass
     taps = bank.shape[1]
     n_out, base, phase = polyphase_plan(len(x), up, down, bank)
     xp = np.concatenate([np.zeros(taps, np.float32), np.asarray(x, np.float32),

@@ -132,13 +132,39 @@ def match_one_vs_many_padded(query_pos, query_neg, n_query,
     """Query vs a padded fingerprint library.
 
     query: ``[Sq, pairs]`` uint8 planes + scalar count; library:
-    ``[L, Sl, pairs]`` + ``[L]`` counts.  Returns ``[L]`` match scores.  The
-    library axis batches the similarity matmuls (MXU) and the banded-diagonal
-    reduction.
+    ``[L, Sl, pairs]`` + ``[L]`` counts.  Returns ``[L]`` match scores.
+
+    The hit counts are symmetric in the two fingerprints, so they collapse to
+    TWO large MXU matmuls over the flattened library ``[L*Sl, pairs] @
+    [pairs, Sq]`` — far better MXU utilisation than L batched 64x64 matmuls.
+    Only the possible-hit denominator and the offset-scan direction depend on
+    which side is longer (quirk Q10), handled by computing both orientations
+    of the cheap banded-diagonal reduction and selecting per entry.
     """
-    l = lib_pos.shape[0]
-    qp = jnp.broadcast_to(query_pos[None], (l, *query_pos.shape))
-    qn = jnp.broadcast_to(query_neg[None], (l, *query_neg.shape))
+    l, s_lib, pairs = lib_pos.shape
+    s_q = query_pos.shape[0]
+    mask = jnp.asarray(_pair_mask(pairs, comparison_range, subfingerprint_length))
+    mb = mask.astype(jnp.bfloat16)
+
+    lp = lib_pos.reshape(l * s_lib, pairs).astype(jnp.bfloat16) * mb
+    ln = lib_neg.reshape(l * s_lib, pairs).astype(jnp.bfloat16) * mb
+    qp = query_pos.astype(jnp.bfloat16)
+    qn = query_neg.astype(jnp.bfloat16)
+    hits = (jnp.dot(lp, qp.T, preferred_element_type=jnp.float32)
+            + jnp.dot(ln, qn.T, preferred_element_type=jnp.float32))
+    hits = hits.reshape(l, s_lib, s_q)
+
+    w_lib = jnp.sum((lp + ln).astype(jnp.float32), axis=-1).reshape(l, s_lib)
+    w_q = jnp.sum(((qp + qn) * mb).astype(jnp.float32), axis=-1)       # [Sq]
+
     nq = jnp.broadcast_to(n_query, (l,))
-    return _match_padded(lib_pos, lib_neg, n_lib, qp, qn, nq,
-                         comparison_range, subfingerprint_length)
+    # Orientation A: library entry is fp1 (longer side).
+    sim_a = jnp.where(w_lib[..., None] > 0.0,
+                      hits / jnp.maximum(w_lib, 1.0)[..., None], 0.0)
+    score_a = offset_scores(sim_a, n_lib, nq)
+    # Orientation B: query is fp1.
+    sim_b = jnp.where(w_q[None, :, None] > 0.0,
+                      hits.swapaxes(-1, -2) / jnp.maximum(w_q, 1.0)[None, :, None],
+                      0.0)
+    score_b = offset_scores(sim_b, nq, n_lib)
+    return jnp.where(n_lib < nq, score_b, score_a)

@@ -137,3 +137,33 @@ def LBAudioDetectiveFingerprintCompareToFingerprint(fp1: Fingerprint, fp2: Finge
                                                     comparison_range: int = 0) -> float:
     return match_fingerprints((fp1.pos, fp1.neg), (fp2.pos, fp2.neg),
                               comparison_range, fp1.subfingerprint_length)
+
+
+# -- streaming (essay Appendix E API surface) --------------------------------
+# The reference's streaming functions live only in the project's essay
+# (LBAudioDetectiveStartProcessing/StopProcessing/PauseProcessing/
+# ResumeProcessing, LBAudioDetectiveProcess).  They map onto
+# streaming.StreamingDetective; the detective argument here is that class.
+
+def LBAudioDetectiveProcess(detective, max_number_of_subfingerprints: int,
+                            callback) -> None:
+    """Essay: start streaming recognition; callback fires when
+    ``max_number_of_subfingerprints`` frames have been fingerprinted."""
+    detective.start_processing(max_number_of_subfingerprints, callback)
+
+
+def LBAudioDetectiveStartProcessing(detective, max_number_of_subfingerprints: int,
+                                    callback=None) -> None:
+    detective.start_processing(max_number_of_subfingerprints, callback)
+
+
+def LBAudioDetectiveStopProcessing(detective):
+    return detective.stop_processing()
+
+
+def LBAudioDetectivePauseProcessing(detective) -> None:
+    detective.pause_processing()
+
+
+def LBAudioDetectiveResumeProcessing(detective) -> None:
+    detective.resume_processing()

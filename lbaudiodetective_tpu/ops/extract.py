@@ -50,9 +50,20 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig
     return pos, neg
 
 
-@partial(jax.jit, static_argnames=("config", "n_rows"))
+def _rows_impl_auto() -> str:
+    """Pick the spectral-rows implementation: the fused Pallas kernel on TPU
+    (it avoids materialising the overlapped-window tensor in HBM), the plain
+    XLA path elsewhere."""
+    try:
+        return "fused" if jax.default_backend() != "cpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+@partial(jax.jit, static_argnames=("config", "n_rows", "rows_impl"))
 def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
-                               config: FingerprintConfig, n_rows: int
+                               config: FingerprintConfig, n_rows: int,
+                               rows_impl: str = "auto"
                                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Core jitted extraction over padded audio.
 
@@ -62,14 +73,24 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
            trailing subfingerprints (computed from padding) are zeroed so
            downstream code may rely on zero padding.
     n_rows: static row count, a multiple of ``rows_per_frame``.
+    rows_impl: "fused" (Pallas), "xla", or "auto".
 
     Returns (pos, neg) uint8 ``[..., n_sub, pairs]``.
     """
     if n_rows % config.rows_per_frame:
         raise ValueError("n_rows must be a multiple of rows_per_frame")
-    starts = spectral.window_starts(config, n_rows)
-    windows = spectral.frame_windows(audio, starts, config.window_size)
-    rows = spectral.band_energies(windows, config)
+    impl = _rows_impl_auto() if rows_impl == "auto" else rows_impl
+    if impl == "fused" and audio.ndim in (1, 2):
+        from lbaudiodetective_tpu.ops.pallas.fused_rows import fused_band_rows
+
+        if audio.ndim == 1:
+            rows = fused_band_rows(audio[None], config, n_rows)[0]
+        else:
+            rows = fused_band_rows(audio, config, n_rows)
+    else:
+        starts = spectral.window_starts(config, n_rows)
+        windows = spectral.frame_windows(audio, starts, config.window_size)
+        rows = spectral.band_energies(windows, config)
     pos, neg = subfingerprints_from_rows(rows, config)
     n_sub = n_rows // config.rows_per_frame
     valid = (jnp.arange(n_sub) < n_valid_sub[..., None]).astype(jnp.uint8)

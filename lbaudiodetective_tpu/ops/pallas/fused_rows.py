@@ -157,6 +157,10 @@ def fused_band_rows(audio: jnp.ndarray, config: FingerprintConfig,
                   - (base_row.astype(np.int64) * _LANE)[:, None]).astype(np.int32)
     span_rows = int(np.max((tile_last - base_row.astype(np.int64) * _LANE
                             + window) // _LANE)) + 2
+    # DMA destinations must have a multiple-of-8 sublane count: a
+    # non-multiple-of-8 span faults the TPU DMA engine (empirically bisected;
+    # scripts/bisect_dma.py).
+    span_rows = -(-span_rows // 8) * 8
     # Pad audio to cover the last tile's span and to a multiple of 128.
     t_need = int((base_row.max() + span_rows) * _LANE)
     t_pad = max(t_need, audio.shape[1])

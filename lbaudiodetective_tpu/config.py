@@ -61,6 +61,15 @@ class FingerprintConfig:
     #: Sample rate of the decoded source files; the hop/row-count arithmetic
     #: of quirk Q8 depends on it in "file" mode.
     file_sample_rate: float = 44100.0
+    #: TPU-native spec choice: quantise the window hop to the nearest integer
+    #: number of processing samples (8 for the default rates instead of the
+    #: reference's fractional 64*5512/44100 = 7.99927).  The cumulative start
+    #: drift this removes is < 7 samples (1.2 ms) over a 13 s clip —
+    #: statistically invisible in match scores (revalidated against the
+    #: essay's Figure 24-28 results) — and it makes the window grid a uniform
+    #: stride, so the spectral stage maps onto strided convolutions on the
+    #: MXU.  Set False for the drift-faithful oracle mode.
+    integer_hop: bool = True
 
     def __post_init__(self):
         if self.window_size & (self.window_size - 1):
@@ -97,8 +106,13 @@ class FingerprintConfig:
     def hop_in_processing_samples(self) -> float:
         """Effective window hop measured in processing-rate samples."""
         if self.hop_domain == "file":
-            return self.analysis_stride * self.processing_sample_rate / self.file_sample_rate
+            hop = self.analysis_stride * self.processing_sample_rate / self.file_sample_rate
+            return float(round(hop)) if self.integer_hop else hop
         return float(self.analysis_stride)
+
+    @property
+    def has_integer_hop(self) -> bool:
+        return float(self.hop_in_processing_samples).is_integer()
 
     def num_rows(self, file_frames: int, proc_frames: int) -> int:
         """Spectrogram row count (``imageWidth``, LBAudioDetective.m:250).

@@ -50,10 +50,16 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig
     return pos, neg
 
 
-def _rows_impl_auto() -> str:
-    """Pick the spectral-rows implementation: the fused Pallas kernel on TPU
-    (it avoids materialising the overlapped-window tensor in HBM), the plain
-    XLA path elsewhere."""
+def _rows_impl_auto(config: FingerprintConfig) -> str:
+    """Pick the spectral-rows implementation.
+
+    - integer hop: "conv" — strided-convolution factorisation, the fastest
+      form on both TPU (MXU convs) and CPU, no window materialisation.
+    - fractional hop on an accelerator: "fused" Pallas kernel.
+    - otherwise: "xla" gather + matmul-DFT.
+    """
+    if config.has_integer_hop:
+        return "conv"
     try:
         return "fused" if jax.default_backend() != "cpu" else "xla"
     except Exception:
@@ -79,8 +85,12 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
     """
     if n_rows % config.rows_per_frame:
         raise ValueError("n_rows must be a multiple of rows_per_frame")
-    impl = _rows_impl_auto() if rows_impl == "auto" else rows_impl
-    if impl == "fused" and audio.ndim in (1, 2):
+    impl = _rows_impl_auto(config) if rows_impl == "auto" else rows_impl
+    if impl == "conv" and audio.ndim in (1, 2):
+        batched = audio if audio.ndim == 2 else audio[None]
+        rows = spectral.conv_band_rows(batched, config, n_rows)
+        rows = rows if audio.ndim == 2 else rows[0]
+    elif impl == "fused" and audio.ndim in (1, 2):
         from lbaudiodetective_tpu.ops.pallas.fused_rows import fused_band_rows
 
         if audio.ndim == 1:

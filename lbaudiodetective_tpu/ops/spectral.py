@@ -92,6 +92,76 @@ def window_starts(config: FingerprintConfig, n_rows: int) -> np.ndarray:
     return config.row_starts(n_rows)
 
 
+@lru_cache(maxsize=8)
+def _conv_constants(config: FingerprintConfig):
+    """Convolution filter banks for the strided-conv spectral path.
+
+    Stage 1: 16-tap dilation-128 filters = the a-axis DFT applied at every
+    sample position; stage 2: grouped 128-tap filters = per-residue twiddle
+    contractions.  Derived from the same factorisation as ops.pallas.fused_rows
+    (including the vDSP 2x scale) with the band projection pre-permuted.
+    """
+    from lbaudiodetective_tpu.ops.pallas.fused_rows import _A, _kernel_constants
+
+    c16, s16, t_re, t_im, proj_perm, k_max = _kernel_constants(config)
+    b_len = config.window_size // _A
+    w1 = np.zeros((2 * _A, 1, _A), np.float32)              # [out, in, taps]
+    for r in range(_A):
+        w1[2 * r, 0, :] = c16[:, r]
+        w1[2 * r + 1, 0, :] = s16[:, r]
+    w2 = np.zeros((_A * 2 * k_max, 2, b_len), np.float32)   # grouped, 16 groups
+    for r in range(_A):
+        for slot in range(k_max):
+            oc_re = r * 2 * k_max + slot
+            oc_im = r * 2 * k_max + k_max + slot
+            w2[oc_re, 0, :] = t_re[r, :, slot]
+            w2[oc_re, 1, :] = -t_im[r, :, slot]
+            w2[oc_im, 0, :] = t_im[r, :, slot]
+            w2[oc_im, 1, :] = t_re[r, :, slot]
+    return w1, w2, proj_perm, k_max
+
+
+def conv_band_rows(audio: jnp.ndarray, config: FingerprintConfig,
+                   n_rows: int) -> jnp.ndarray:
+    """``[B, T] audio -> [B, n_rows, bands]`` via two strided convolutions.
+
+    Requires an integer hop (config.integer_hop / hop_domain='proc').  The
+    overlapped-window DFT factorises into (1) a dense 16-tap dilated conv
+    computing the a-axis partial DFT at every sample position, and (2) a
+    grouped 128-tap stride-``hop`` conv applying the per-residue twiddles —
+    both MXU-friendly, with no window materialisation in HBM.
+    """
+    if not config.has_integer_hop:
+        raise ValueError("conv_band_rows requires an integer hop")
+    hop = int(config.hop_in_processing_samples)
+    w1_np, w2_np, proj_perm, k_max = _conv_constants(config)
+    hi = jax.lax.Precision.HIGHEST
+    b = audio.shape[0]
+    need = (n_rows - 1) * hop + config.window_size
+    if audio.shape[1] < need:
+        audio = jnp.pad(audio, ((0, 0), (0, need - audio.shape[1])))
+    lhs = audio[:, None, :]                                  # [B, 1, T]
+    p = jax.lax.conv_general_dilated(
+        lhs, jnp.asarray(w1_np), window_strides=(1,), padding="VALID",
+        rhs_dilation=(config.window_size // 16,),
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=hi)  # [B, 32, T']
+    x = jax.lax.conv_general_dilated(
+        p, jnp.asarray(w2_np), window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=16, precision=hi)                # [B, 1376, R']
+    x = x[:, :, :n_rows]
+    if x.shape[2] < n_rows:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_rows - x.shape[2])))
+    x = x.reshape(b, 16, 2, k_max, x.shape[-1])
+    div = jnp.float32(config.spectrum_scale_divisor)
+    x = jnp.where(x > 0.0, x / div, x)                       # quirk Q5
+    v = x[:, :, 0] ** 2 + x[:, :, 1] ** 2                    # [B, 16, k_max, R]
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    v = v.reshape(b, 16 * k_max, v.shape[-1]).swapaxes(1, 2)  # [B, R, 16*k_max]
+    return jnp.einsum("brk,kc->brc", v, jnp.asarray(proj_perm),
+                      precision=hi, preferred_element_type=jnp.float32)
+
+
 def frame_windows(audio: jnp.ndarray, starts: np.ndarray, window: int) -> jnp.ndarray:
     """Gather overlapping windows: ``audio[..., T] -> [..., n_rows, window]``.
 

@@ -32,6 +32,7 @@ def config_params_hash(config: FingerprintConfig) -> str:
         "min_frequency": config.min_frequency,
         "hop_domain": config.hop_domain,
         "file_sample_rate": config.file_sample_rate,
+        "integer_hop": config.integer_hop,
     }, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 

@@ -100,6 +100,14 @@ def decoded_corpus():
     return _LazyDict(load)
 
 
+def config_cache_key():
+    """Short parameter hash so cached fingerprints invalidate on spec change."""
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.utils.serialize import config_params_hash
+
+    return config_params_hash(FingerprintConfig())[:8]
+
+
 @pytest.fixture(scope="session")
 def oracle_fingerprints(decoded_corpus):
     """name -> (pos, neg) golden-oracle fingerprints, lazy + disk-cached."""
@@ -107,9 +115,10 @@ def oracle_fingerprints(decoded_corpus):
     from lbaudiodetective_tpu.oracle.pipeline import oracle_fingerprint
 
     cfg = FingerprintConfig()
+    key = config_cache_key()
 
     def load(name):
-        cache_file = CACHE / f"oracle_{name}.npz"
+        cache_file = CACHE / f"oracle_{key}_{name}.npz"
         if cache_file.exists():
             z = np.load(cache_file)
             return (z["pos"], z["neg"])

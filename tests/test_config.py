@@ -36,7 +36,10 @@ def test_spectrum_scale_divisor():
 def test_hop_domains():
     cfg = FingerprintConfig()
     assert cfg.hop_domain == "file"
-    assert abs(cfg.hop_in_processing_samples - 64 * 5512.0 / 44100.0) < 1e-9
+    # TPU-native spec: the fractional file-domain hop (7.99927) quantises to 8.
+    assert cfg.integer_hop and cfg.hop_in_processing_samples == 8.0
+    faithful = cfg.with_updates(integer_hop=False)
+    assert abs(faithful.hop_in_processing_samples - 64 * 5512.0 / 44100.0) < 1e-9
     proc = cfg.with_updates(hop_domain="proc")
     assert proc.hop_in_processing_samples == 64.0
     # Row counts: file mode uses the file-rate length (quirk Q8).

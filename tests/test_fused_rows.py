@@ -11,9 +11,10 @@ from lbaudiodetective_tpu.ops.extract import required_padded_length
 from lbaudiodetective_tpu.ops.pallas.fused_rows import fused_band_rows
 
 
-@pytest.mark.parametrize("hop_domain", ["file", "proc"])
-def test_fused_rows_matches_xla(hop_domain):
-    cfg = FingerprintConfig(hop_domain=hop_domain)
+@pytest.mark.parametrize("hop_domain,integer_hop", [
+    ("file", True), ("file", False), ("proc", True)])
+def test_fused_rows_matches_xla(hop_domain, integer_hop):
+    cfg = FingerprintConfig(hop_domain=hop_domain, integer_hop=integer_hop)
     n_rows = 256
     t_pad = required_padded_length(cfg, n_rows)
     rng = np.random.default_rng(50)

@@ -139,6 +139,46 @@ def LBAudioDetectiveFingerprintCompareToFingerprint(fp1: Fingerprint, fp2: Finge
                               comparison_range, fp1.subfingerprint_length)
 
 
+# -- frame (LBAudioDetectiveFrame.h, private in the reference) ---------------
+
+def LBAudioDetectiveFrameNew(max_row_count: int):
+    from lbaudiodetective_tpu.models.frame import Frame
+
+    return Frame(max_row_count)
+
+
+def LBAudioDetectiveFrameCopy(frame):
+    return frame.copy()
+
+
+def LBAudioDetectiveFrameGetNumberOfRows(frame) -> int:
+    return frame.number_of_rows
+
+
+def LBAudioDetectiveFrameGetValue(frame, row: int, col: int) -> float:
+    return frame.get_value(row, col)
+
+
+def LBAudioDetectiveFrameFull(frame) -> bool:
+    return frame.full()
+
+
+def LBAudioDetectiveFrameSetRow(frame, row, index: int, count: int) -> bool:
+    return frame.set_row(np.asarray(row, np.float32)[:count], index)
+
+
+def LBAudioDetectiveFrameDecompose(frame) -> None:
+    frame.decompose()
+
+
+def LBAudioDetectiveFrameExtractFingerprint(frame, number_of_wavelets: int):
+    return frame.extract_fingerprint(number_of_wavelets)
+
+
+def LBAudioDetectiveFrameEqualToFrame(frame1, frame2) -> bool:
+    return frame1 == frame2
+
+
 # -- streaming (essay Appendix E API surface) --------------------------------
 # The reference's streaming functions live only in the project's essay
 # (LBAudioDetectiveStartProcessing/StopProcessing/PauseProcessing/

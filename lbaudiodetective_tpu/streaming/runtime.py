@@ -185,10 +185,18 @@ class StreamingExtractor:
 
 class StreamingDetective:
     """Essay-style single-stream API: Start/Stop/Pause/Resume + callback
-    (reference essay Appendix E: LBAudioDetectiveStartProcessing et al.)."""
+    (reference essay Appendix E: LBAudioDetectiveStartProcessing et al.).
+
+    Thread-safe: ``process_samples`` may be called from an audio-capture
+    thread while lifecycle methods run elsewhere — the analogue of the
+    reference's render-thread -> main-queue handoff (its only concurrency;
+    SURVEY §5), here guarded by a lock instead of dispatch_sync.
+    """
 
     def __init__(self, config: FingerprintConfig | None = None,
                  chunk_size: int = 1024):
+        import threading
+
         self.config = config or FingerprintConfig()
         self.chunk_size = chunk_size
         self._extractor: StreamingExtractor | None = None
@@ -196,37 +204,46 @@ class StreamingDetective:
         self._max_subfingerprints = 0
         self._running = False
         self._pending = np.zeros(0, np.float32)
+        self._lock = threading.RLock()
 
     # -- lifecycle ----------------------------------------------------------
 
     def start_processing(self, max_subfingerprints: int, callback) -> None:
-        self._extractor = StreamingExtractor(batch=1, chunk_size=self.chunk_size,
-                                             config=self.config)
-        self._callback = callback
-        self._max_subfingerprints = max_subfingerprints
-        self._running = True
-        self._pending = np.zeros(0, np.float32)
+        with self._lock:
+            self._extractor = StreamingExtractor(batch=1, chunk_size=self.chunk_size,
+                                                 config=self.config)
+            self._callback = callback
+            self._max_subfingerprints = max_subfingerprints
+            self._running = True
+            self._pending = np.zeros(0, np.float32)
 
     def pause_processing(self) -> None:
-        self._running = False
+        with self._lock:
+            self._running = False
 
     def resume_processing(self) -> None:
-        if self._extractor is None:
-            raise RuntimeError("start_processing first")
-        self._running = True
+        with self._lock:
+            if self._extractor is None:
+                raise RuntimeError("start_processing first")
+            self._running = True
 
     def stop_processing(self) -> Fingerprint:
         """Synthesize the fingerprint from everything processed so far."""
-        self._running = False
-        if self._extractor is None:
-            raise RuntimeError("start_processing first")
-        return self._extractor.fingerprints()[0]
+        with self._lock:
+            self._running = False
+            if self._extractor is None:
+                raise RuntimeError("start_processing first")
+            return self._extractor.fingerprints()[0]
 
     # -- data ingestion (the render-callback analogue) ----------------------
 
     def process_samples(self, samples: np.ndarray) -> None:
         """Feed mono float32 samples at the processing rate; invokes the
         completion callback once max_subfingerprints frames are done."""
+        with self._lock:
+            self._process_samples_locked(samples)
+
+    def _process_samples_locked(self, samples: np.ndarray) -> None:
         if not self._running:
             return
         ext = self._extractor

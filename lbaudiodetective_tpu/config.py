@@ -70,6 +70,10 @@ class FingerprintConfig:
     #: stride, so the spectral stage maps onto strided convolutions on the
     #: MXU.  Set False for the drift-faithful oracle mode.
     integer_hop: bool = True
+    #: TPU MXU f32 contraction passes: "default" (1 bf16 pass, fast but
+    #: perturbs the |coeff| ranking), "high" (3 passes, ~f32 — sufficient for
+    #: bit parity with the float64 oracle), "highest" (6 passes).
+    matmul_precision: str = "high"
 
     def __post_init__(self):
         if self.window_size & (self.window_size - 1):
@@ -81,6 +85,8 @@ class FingerprintConfig:
             raise ValueError("subfingerprint_length must be even (bits are sign pairs)")
         if self.hop_domain not in ("file", "proc"):
             raise ValueError(f"hop_domain must be 'file' or 'proc', got {self.hop_domain!r}")
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(f"invalid matmul_precision {self.matmul_precision!r}")
 
     # ------------------------------------------------------------------ #
     # Derived quantities
@@ -113,6 +119,15 @@ class FingerprintConfig:
     @property
     def has_integer_hop(self) -> bool:
         return float(self.hop_in_processing_samples).is_integer()
+
+    @property
+    def precision(self):
+        """jax.lax.Precision for the spectral/Haar contractions."""
+        import jax
+
+        return {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[self.matmul_precision]
 
     def num_rows(self, file_frames: int, proc_frames: int) -> int:
         """Spectrogram row count (``imageWidth``, LBAudioDetective.m:250).

@@ -71,8 +71,8 @@ def _dft_constants(window_size: int, bin_lo: int, bin_hi: int):
     return c1, s1, t_re, t_im, perm
 
 
-def rdft_bins(windows: jnp.ndarray, bin_lo: int, bin_hi: int
-              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+def rdft_bins(windows: jnp.ndarray, bin_lo: int, bin_hi: int,
+              precision=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``[..., window] -> (re, im)`` each ``[..., bin_hi-bin_lo]``: 2x the real
     DFT at bins [bin_lo, bin_hi), vDSP-scaled (see packed_spectrum).
 
@@ -87,7 +87,7 @@ def rdft_bins(windows: jnp.ndarray, bin_lo: int, bin_hi: int
     c1, s1 = jnp.asarray(c1_np), jnp.asarray(s1_np)
     t_re, t_im = jnp.asarray(t_re_np), jnp.asarray(t_im_np)
     perm = jnp.asarray(perm_np)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision if precision is not None else jax.lax.Precision.HIGHEST
 
     y = windows.reshape(*windows.shape[:-1], a_len, b_len)  # [..., a, b]
     # Stage 1: DFT over a for every b -> G[..., b, r].

@@ -40,7 +40,7 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig
     rpf = config.rows_per_frame
     n_sub = n_rows // rpf
     frames = rows.reshape(*lead, n_sub, rpf, bands)
-    coeffs = haar_2d(frames)
+    coeffs = haar_2d(frames, precision=config.precision)
     flat = coeffs.reshape(*lead, n_sub, rpf * bands)
     k = config.num_wavelet_pairs
     _, idx = jax.lax.top_k(jnp.abs(flat), k)

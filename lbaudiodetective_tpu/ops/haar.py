@@ -41,18 +41,20 @@ def haar_matrix(n: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def haar_2d(frames: jnp.ndarray) -> jnp.ndarray:
+def haar_2d(frames: jnp.ndarray, precision=None) -> jnp.ndarray:
     """Batched 2-D Haar: ``[..., rows, cols] -> [..., rows, cols]`` coefficient
     tensors, rows/cols each a power of two.  Two MXU matmuls."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     rows, cols = frames.shape[-2], frames.shape[-1]
     h_rows = jnp.asarray(haar_matrix(rows))
     h_cols = jnp.asarray(haar_matrix(cols))
     # Row pass operates along the length-`cols` axis, column pass along rows.
-    # HIGHEST precision: TPU default truncates f32 matmul inputs to bf16,
+    # Elevated precision: TPU default truncates f32 matmul inputs to bf16,
     # which perturbs the |coeff| ranking that defines the fingerprint bits.
     row_pass = jnp.einsum("...rc,kc->...rk", frames, h_cols,
                           preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=precision)
     return jnp.einsum("qr,...rk->...qk", h_rows, row_pass,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)

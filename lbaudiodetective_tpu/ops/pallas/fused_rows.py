@@ -78,7 +78,7 @@ def _rows_kernel(starts_rel_ref, base_row_ref,             # scalar prefetch
                  out_ref,                                  # VMEM out
                  buf, windows, v_buf, sem,                 # scratch
                  *, span_rows: int, window: int, rows: int, inv_div: float,
-                 k_max: int):
+                 k_max: int, precision):
     b = pl.program_id(0)
     t = pl.program_id(1)
     q_len = window // _LANE                                # rows per window
@@ -104,7 +104,7 @@ def _rows_kernel(starts_rel_ref, base_row_ref,             # scalar prefetch
 
     jax.lax.fori_loop(0, rows, fill_row, 0)
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     y = windows[:]                                         # [row, a, b]
     dn = (((1,), (0,)), ((), ()))
     g_re = jax.lax.dot_general(y, c16_re_ref[:], dn, precision=hi,
@@ -193,7 +193,8 @@ def fused_band_rows(audio: jnp.ndarray, config: FingerprintConfig,
         ],
     )
     kernel = partial(_rows_kernel, span_rows=span_rows, window=window, rows=rpf,
-                     inv_div=1.0 / config.spectrum_scale_divisor, k_max=k_max)
+                     inv_div=1.0 / config.spectrum_scale_divisor, k_max=k_max,
+                     precision=config.precision)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

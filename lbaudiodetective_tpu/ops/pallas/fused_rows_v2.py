@@ -1,0 +1,179 @@
+"""Fused spectral-rows Pallas kernel, v2 — integer-hop (hop=8) fast path.
+
+The v1 kernel (fused_rows.py) supports arbitrary window-start patterns but
+pays a 128-iteration dynamic-roll loop per tile.  With the integer-hop spec
+(CALIBRATION.md) the start grid is uniform (8 samples), which makes every
+data movement static after a single aligning roll:
+
+  per grid step (clip b, frame tile t of 128 windows):
+    DMA audio2d[b, base_row_t : +32, 128]           (HBM -> VMEM, 16 KB)
+    ONE dynamic flat-roll by s0 = tile_start mod 128 -> window grid = 8j
+    stage-1 shared transform: P[q,p,r] = sum_a bufr[q+a, p] C16[a,r]
+      (16 static slices + one K=16 dot_general; shared by ALL windows --
+       the per-window stage-1 work collapses 128-fold)
+    static re-tiling P -> G[(v,w), b, r] (16 static slice+concats)
+      where window j = 16w + v starts at flat 8j = 128w + 8v
+    stage-2: per residue r, [128,128] @ [128, 2*k_max] matmuls (K=128, MXU)
+    quirk-Q5 scale, |X|^2, band projection, static row un-permutation matmul
+
+Numerically identical to ops.dft.rdft_bins (same factorisation); bit parity
+with the golden oracle at config.matmul_precision >= high.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.ops.pallas.fused_rows import _A, _LANE, _kernel_constants
+
+
+@lru_cache(maxsize=8)
+def _v2_constants(config: FingerprintConfig):
+    c16, s16, t_re, t_im, proj_perm, k_max = _kernel_constants(config)
+    # Stage-2 stacked matrices: X_all = G_re @ A + G_im @ B with
+    # A = [T2re | T2im], B = [-T2im | T2re] -> X_all = [X_re | X_im].
+    t2a = np.concatenate([t_re, t_im], axis=2)          # [16, 128, 2k]
+    t2b = np.concatenate([-t_im, t_re], axis=2)
+    rpf = config.rows_per_frame
+    vper = _LANE // 8                                   # windows per 128 flat = 16
+    wper = rpf // vper                                  # = 8
+    perm = np.zeros((rpf, rpf), np.float32)             # out[j] = rows[(v,w)]
+    for j in range(rpf):
+        w, v = divmod(j, vper)
+        perm[j, v * wper + w] = 1.0
+    return c16, s16, t2a, t2b, proj_perm, k_max, perm
+
+
+def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
+                    audio_ref,                          # HBM [B, T/128, 128]
+                    c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref, perm_ref,
+                    out_ref,                            # VMEM out [1, 128, bands]
+                    buf, v_buf, sem,
+                    *, span_rows: int, window: int, rows: int,
+                    inv_div: float, k_max: int, precision):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    hi = precision
+
+    dma = pltpu.make_async_copy(
+        audio_ref.at[b, pl.ds(base_row_ref[t], span_rows), :], buf, sem)
+    dma.start()
+    dma.wait()
+
+    # Align so window j starts at flat position 8j: one dynamic roll by s0.
+    s0 = s0_ref[t]
+    sr1 = span_rows - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sr1, _LANE), 1)
+    rolled = pltpu.roll(buf[:], -s0, 1)
+    bufr = jnp.where(lane < _LANE - s0, rolled[0:sr1, :], rolled[1:span_rows, :])
+
+    # Stage 1 shared across windows: P[q, p, r] = sum_a bufr[q+a, p] C16[a, r].
+    # P is needed at flat positions [0, 8*(rows-1) + 128): window j reads
+    # P[8j + b] for b in [0, 128) (the remaining window extent lives in the
+    # a-shifts inside P itself).
+    qu = -(-(8 * (rows - 1) + _LANE) // _LANE)
+    stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])      # [16, qu, 128]
+    dn = (((0,), (0,)), ((), ()))
+    p_re = jax.lax.dot_general(stack, c16_re_ref[:], dn, precision=hi,
+                               preferred_element_type=jnp.float32)  # [qu,128,16]
+    p_im = jax.lax.dot_general(stack, c16_im_ref[:], dn, precision=hi,
+                               preferred_element_type=jnp.float32)
+
+    # Static re-tiling: G[(v,w), b, r]; window j=16w+v reads flat 128w+8v+b.
+    vper = _LANE // 8
+    wper = rows // vper
+
+    def build_g(p3):
+        pieces = []
+        for v in range(vper):
+            cut = 8 * v
+            if cut == 0:
+                pieces.append(p3[0:wper])
+            else:
+                pieces.append(jnp.concatenate(
+                    [p3[0:wper, cut:, :], p3[1:wper + 1, :cut, :]], axis=1))
+        return jnp.concatenate(pieces, axis=0)                     # [128,128,16]
+
+    g_re = build_g(p_re)
+    g_im = build_g(p_im)
+
+    for r in range(_A):
+        x = (jnp.dot(g_re[:, :, r], t2a_ref[r], precision=hi,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(g_im[:, :, r], t2b_ref[r], precision=hi,
+                       preferred_element_type=jnp.float32))        # [128, 2k]
+        x = jnp.where(x > 0.0, x * inv_div, x)                     # quirk Q5
+        v = x[:, :k_max] ** 2 + x[:, k_max:] ** 2
+        v_buf[:, r * k_max:(r + 1) * k_max] = jnp.where(jnp.isfinite(v), v, 0.0)
+
+    rows_perm = jnp.dot(v_buf[:], proj_ref[:], precision=hi,
+                        preferred_element_type=jnp.float32)        # [(v,w), bands]
+    out_ref[0] = jnp.dot(perm_ref[:], rows_perm, precision=hi,
+                         preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("config", "n_rows", "interpret"))
+def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
+                       n_rows: int, interpret: bool = False) -> jnp.ndarray:
+    """``[B, T] audio -> [B, n_rows, bands]``; requires hop == 8 and the
+    default window/frame geometry (window 2048, 128 rows/frame)."""
+    rpf = config.rows_per_frame
+    window = config.window_size
+    if not (config.has_integer_hop and int(config.hop_in_processing_samples) == 8):
+        raise ValueError("v2 kernel requires an integer hop of 8")
+    if n_rows % rpf or window % _LANE or rpf % (_LANE // 8):
+        raise ValueError("unsupported geometry for the v2 kernel")
+    n_tiles = n_rows // rpf
+    batch = audio.shape[0]
+
+    starts = config.row_starts(n_rows).astype(np.int64)
+    tile_first = starts.reshape(n_tiles, rpf)[:, 0]
+    base_row = (tile_first // _LANE).astype(np.int32)
+    s0 = (tile_first - base_row.astype(np.int64) * _LANE).astype(np.int32)
+    span_need = int(np.max(tile_first - base_row.astype(np.int64) * _LANE)
+                    ) + 8 * (rpf - 1) + window
+    span_rows = -(-(span_need // _LANE + 2) // 8) * 8   # sublane-aligned DMA
+    t_need = int((base_row.max() + span_rows) * _LANE)
+    t_pad = max(t_need, audio.shape[1])
+    t_pad += (-t_pad) % _LANE
+    if t_pad != audio.shape[1]:
+        audio = jnp.pad(audio, ((0, 0), (0, t_pad - audio.shape[1])))
+    audio2d = audio.reshape(batch, t_pad // _LANE, _LANE)
+
+    c16, s16, t2a, t2b, proj_perm, k_max, perm = _v2_constants(config)
+    bands = config.pitch_step_count
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, rpf, bands), lambda b, t, *_: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((span_rows, _LANE), jnp.float32),
+            pltpu.VMEM((rpf, _A * k_max), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = partial(_rows_kernel_v2, span_rows=span_rows, window=window,
+                     rows=rpf, inv_div=1.0 / config.spectrum_scale_divisor,
+                     k_max=k_max, precision=config.precision)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, n_rows, bands), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.asarray(s0), jnp.asarray(base_row), audio2d,
+      jnp.asarray(c16), jnp.asarray(s16), jnp.asarray(t2a), jnp.asarray(t2b),
+      jnp.asarray(proj_perm), jnp.asarray(perm))

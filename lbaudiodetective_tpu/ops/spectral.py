@@ -73,7 +73,7 @@ def band_energies(windows: jnp.ndarray, config: FingerprintConfig,
     div = jnp.float32(config.spectrum_scale_divisor)
     n = windows.shape[-1]
     if use_matmul_dft and 1 <= lo and hi <= n // 2 and n % 16 == 0:
-        re, im = rdft_bins(windows, lo, hi)
+        re, im = rdft_bins(windows, lo, hi, precision=config.precision)
         proj = jnp.asarray(band_projection_matrix(config)[lo:hi])
     else:
         re, im = packed_spectrum(windows)
@@ -82,9 +82,9 @@ def band_energies(windows: jnp.ndarray, config: FingerprintConfig,
     im = jnp.where(im > 0.0, im / div, im)
     v = re * re + im * im
     v = jnp.where(jnp.isfinite(v), v, 0.0)
-    # HIGHEST precision: the TPU default would truncate the energies to bf16.
+    # Elevated precision: the TPU default would truncate the energies to bf16.
     return jnp.einsum("...k,kb->...b", v, proj, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=config.precision)
 
 
 def window_starts(config: FingerprintConfig, n_rows: int) -> np.ndarray:
@@ -135,7 +135,7 @@ def conv_band_rows(audio: jnp.ndarray, config: FingerprintConfig,
         raise ValueError("conv_band_rows requires an integer hop")
     hop = int(config.hop_in_processing_samples)
     w1_np, w2_np, proj_perm, k_max = _conv_constants(config)
-    hi = jax.lax.Precision.HIGHEST
+    hi = config.precision
     b = audio.shape[0]
     need = (n_rows - 1) * hop + config.window_size
     if audio.shape[1] < need:

@@ -100,6 +100,24 @@ def bench_match(config, library_size: int, s_max: int = 64, iters: int = 5):
     return pair_compares, sub_compares, dt
 
 
+def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
+                    steps: int = 20):
+    """BASELINE config 4: concurrent stream throughput (real-time factor)."""
+    from lbaudiodetective_tpu.streaming.runtime import StreamingExtractor
+
+    ext = StreamingExtractor(batch=n_streams, chunk_size=chunk, config=config)
+    rng = np.random.default_rng(2)
+    chunks = (rng.standard_normal((steps, n_streams, chunk)) * 0.1).astype(np.float32)
+    ext.feed(chunks[0])  # compile
+    ext.reset()
+    t0 = time.perf_counter()
+    for s in range(steps):
+        ext.feed(chunks[s])
+    dt = time.perf_counter() - t0
+    audio_seconds = steps * chunk / config.processing_sample_rate * n_streams
+    return audio_seconds / dt, n_streams
+
+
 def main():
     quick = "--quick" in sys.argv
     from lbaudiodetective_tpu.config import FingerprintConfig
@@ -126,6 +144,14 @@ def main():
     details["match_pair_compares_per_sec"] = pair_cps
     details["match_subfingerprint_compares_per_sec"] = sub_cps
     details["match_library_size"] = lib
+
+    try:
+        n_streams = 64 if quick else 256
+        rt_factor, _ = bench_streaming(parity_cfg, n_streams=n_streams)
+        details["streaming_realtime_factor"] = rt_factor
+        details["streaming_concurrent_streams"] = n_streams
+    except Exception as e:  # keep the primary metric robust
+        details["streaming_error"] = str(e)[:200]
 
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)

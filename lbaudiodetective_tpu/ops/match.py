@@ -54,28 +54,56 @@ def similarity_matrix(pos1: jnp.ndarray, neg1: jnp.ndarray,
     return jnp.where(possible[..., :, None] > 0.0, sim, 0.0)
 
 
+def banded_diagonal_sums(sim: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:
+    """``D[..., o] = sum_{i < n2} sim[..., o+i, i]`` for o in [0, S1).
+
+    Gather-free: the diagonal elements (o+i, i) of the row-padded matrix have
+    flat indices ``o*S2 + i*(S2+1)``, so after reshaping the flattened matrix
+    to width S2+1 each diagonal is a contiguous *column* segment — a prefix-sum
+    along rows turns every banded-diagonal sum into one subtraction.  The
+    variable valid length ``n2`` indexes the prefix sums dynamically.
+    """
+    *lead, s1, s2 = sim.shape
+    lead_pad = [(0, 0)] * len(lead)
+    t = jnp.pad(sim, lead_pad + [(0, s2), (0, 0)])          # rows -> s1+s2
+    flat = t.reshape(*lead, (s1 + s2) * s2)
+    m = s2 + 1
+    total = (s1 + s2) * s2
+    l_rows = -(-total // m)
+    flat = jnp.pad(flat, lead_pad + [(0, l_rows * m - total)])
+    v2 = flat.reshape(*lead, l_rows, m)
+    cs = jnp.cumsum(v2, axis=-2)
+    cs = jnp.pad(cs, lead_pad + [(1, 0), (0, 0)])           # prefix zero row
+    o = np.arange(s1)
+    q = jnp.asarray(((o * s2) // m).astype(np.int32))       # [O]
+    b = jnp.asarray(((o * s2) % m).astype(np.int32))        # [O]
+    hi_row = jnp.minimum(q + n2[..., None], l_rows)         # [..., O]
+
+    def pick(rows):
+        """cs[..., rows[o], b[o]] -> [..., O]"""
+        rows_b = jnp.broadcast_to(rows[..., None], (*lead, s1, m))
+        picked = jnp.take_along_axis(cs, rows_b, axis=-2)   # [..., O, m]
+        cols = jnp.broadcast_to(b[:, None], (*lead, s1, 1))
+        return jnp.take_along_axis(picked, cols, axis=-1)[..., 0]
+
+    return pick(hi_row) - pick(jnp.broadcast_to(q, hi_row.shape))
+
+
 def offset_scores(sim: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:
     """Offset-sliding max of banded-diagonal means.
 
-    sim: ``[..., S1, S2]`` similarity matrix (padded entries arbitrary).
+    sim: ``[..., S1, S2]`` similarity matrix (padded entries must be zero).
     n1, n2: ``[...]`` int32 valid counts, with n1 >= n2 (caller swaps).
     Returns ``[...]`` float32 match scores, 0 when n2 == 0.
 
     Replicates LBAudioDetectiveFingerprint.m:133-148: for offset o in
     [0, n1-n2], score(o) = mean_{i<n2} sim[i+o, i]; result = max_o score(o).
     """
-    s1, s2 = sim.shape[-2], sim.shape[-1]
-    o_max = s1  # enough to cover any n1 - n2 + 1 <= s1 offsets
-    i_idx = jnp.arange(s2)
-    o_idx = jnp.arange(o_max)
-    rows = jnp.minimum(o_idx[:, None] + i_idx[None, :], s1 - 1)   # [O, S2]
-    # Banded diagonals via one XLA gather with static index arrays.
-    band = sim[..., rows, i_idx[None, :]]                          # [..., O, S2]
-    i_valid = (i_idx[None, :] < n2[..., None, None]).astype(sim.dtype)
-    sums = jnp.sum(band * i_valid, axis=-1)
+    s1 = sim.shape[-2]
+    sums = banded_diagonal_sums(sim, n2)                    # [..., S1]
     n2f = jnp.maximum(n2, 1).astype(sim.dtype)
     means = sums / n2f[..., None]
-    o_valid = o_idx <= (n1 - n2)[..., None]
+    o_valid = jnp.arange(s1) <= (n1 - n2)[..., None]
     means = jnp.where(o_valid, means, 0.0)
     score = jnp.max(means, axis=-1)
     return jnp.where(n2 > 0, score, 0.0)

@@ -41,6 +41,12 @@ _A = 16    # stage-1 DFT length (n = a * B + b decomposition)
 _LANE = 128
 
 
+def _pallas_precision(precision):
+    """Mosaic dot lowering supports only DEFAULT and HIGHEST; map HIGH up."""
+    return (jax.lax.Precision.HIGHEST
+            if precision == jax.lax.Precision.HIGH else precision)
+
+
 @lru_cache(maxsize=8)
 def _kernel_constants(config: FingerprintConfig):
     """Stage matrices with the band projection pre-permuted into (residue,

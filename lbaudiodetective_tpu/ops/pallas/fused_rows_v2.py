@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbaudiodetective_tpu.config import FingerprintConfig
-from lbaudiodetective_tpu.ops.pallas.fused_rows import _A, _LANE, _kernel_constants
+from lbaudiodetective_tpu.ops.pallas.fused_rows import (_A, _LANE, _kernel_constants, _pallas_precision)
 
 
 @lru_cache(maxsize=8)
@@ -166,7 +166,7 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     )
     kernel = partial(_rows_kernel_v2, span_rows=span_rows, window=window,
                      rows=rpf, inv_div=1.0 / config.spectrum_scale_divisor,
-                     k_max=k_max, precision=config.precision)
+                     k_max=k_max, precision=_pallas_precision(config.precision))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -53,17 +53,24 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig
 def _rows_impl_auto(config: FingerprintConfig) -> str:
     """Pick the spectral-rows implementation.
 
-    - integer hop: "conv" — strided-convolution factorisation, the fastest
-      form on both TPU (MXU convs) and CPU, no window materialisation.
-    - fractional hop on an accelerator: "fused" Pallas kernel.
-    - otherwise: "xla" gather + matmul-DFT.
+    - hop == 8 on an accelerator: "fused_v2" Pallas kernel (static window
+      re-tiling after one aligning roll — the fastest path).
+    - integer hop otherwise / on CPU: "conv" strided-convolution
+      factorisation (no window materialisation).
+    - fractional hop on an accelerator: "fused" Pallas kernel (v1).
+    - fallback: "xla" gather + matmul-DFT.
     """
-    if config.has_integer_hop:
-        return "conv"
     try:
-        return "fused" if jax.default_backend() != "cpu" else "xla"
+        on_accel = jax.default_backend() != "cpu"
     except Exception:
-        return "xla"
+        on_accel = False
+    if config.has_integer_hop:
+        hop = int(config.hop_in_processing_samples)
+        if (on_accel and hop == 8 and config.window_size == 2048
+                and config.rows_per_frame % 16 == 0):
+            return "fused_v2"
+        return "conv"
+    return "fused" if on_accel else "xla"
 
 
 @partial(jax.jit, static_argnames=("config", "n_rows", "rows_impl"))
@@ -90,13 +97,17 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
         batched = audio if audio.ndim == 2 else audio[None]
         rows = spectral.conv_band_rows(batched, config, n_rows)
         rows = rows if audio.ndim == 2 else rows[0]
-    elif impl == "fused" and audio.ndim in (1, 2):
-        from lbaudiodetective_tpu.ops.pallas.fused_rows import fused_band_rows
-
-        if audio.ndim == 1:
-            rows = fused_band_rows(audio[None], config, n_rows)[0]
+    elif impl in ("fused", "fused_v2") and audio.ndim in (1, 2):
+        if impl == "fused_v2":
+            from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import (
+                fused_band_rows_v2 as rows_fn)
         else:
-            rows = fused_band_rows(audio, config, n_rows)
+            from lbaudiodetective_tpu.ops.pallas.fused_rows import (
+                fused_band_rows as rows_fn)
+        if audio.ndim == 1:
+            rows = rows_fn(audio[None], config, n_rows)[0]
+        else:
+            rows = rows_fn(audio, config, n_rows)
     else:
         starts = spectral.window_starts(config, n_rows)
         windows = spectral.frame_windows(audio, starts, config.window_size)

@@ -38,10 +38,22 @@ from lbaudiodetective_tpu.ops.pallas.fused_rows import (_A, _LANE, _kernel_const
 @lru_cache(maxsize=8)
 def _v2_constants(config: FingerprintConfig):
     c16, s16, t_re, t_im, proj_perm, k_max = _kernel_constants(config)
-    # Stage-2 stacked matrices: X_all = G_re @ A + G_im @ B with
-    # A = [T2re | T2im], B = [-T2im | T2re] -> X_all = [X_re | X_im].
-    t2a = np.concatenate([t_re, t_im], axis=2)          # [16, 128, 2k]
-    t2b = np.concatenate([-t_im, t_re], axis=2)
+    # Stage-2 stacked matrices padded to a full 128 lanes so every in-kernel
+    # slice falls on the 64-lane boundary: X_all = G_re @ A + G_im @ B with
+    # A = [T2re | T2im], B = [-T2im | T2re] -> X_all = [X_re pad | X_im pad].
+    half = 64
+    assert k_max <= half
+    b_len = t_re.shape[1]
+    t2a = np.zeros((_A, b_len, 2 * half), np.float32)
+    t2b = np.zeros((_A, b_len, 2 * half), np.float32)
+    t2a[:, :, :k_max] = t_re
+    t2a[:, :, half:half + k_max] = t_im
+    t2b[:, :, :k_max] = -t_im
+    t2b[:, :, half:half + k_max] = t_re
+    # Per-residue band projection: [16, 64, bands] (zero rows beyond k_max).
+    proj_r = np.zeros((_A, half, config.pitch_step_count), np.float32)
+    for r in range(_A):
+        proj_r[r, :k_max] = proj_perm[r * k_max:(r + 1) * k_max]
     rpf = config.rows_per_frame
     vper = _LANE // 8                                   # windows per 128 flat = 16
     wper = rpf // vper                                  # = 8
@@ -49,14 +61,14 @@ def _v2_constants(config: FingerprintConfig):
     for j in range(rpf):
         w, v = divmod(j, vper)
         perm[j, v * wper + w] = 1.0
-    return c16, s16, t2a, t2b, proj_perm, k_max, perm
+    return c16, s16, t2a, t2b, proj_r, k_max, perm
 
 
 def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                     audio_ref,                          # HBM [B, T/128, 128]
                     c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref, perm_ref,
                     out_ref,                            # VMEM out [1, 128, bands]
-                    buf, v_buf, sem,
+                    buf, sem,
                     *, span_rows: int, window: int, rows: int,
                     inv_div: float, k_max: int, precision):
     b = pl.program_id(0)
@@ -75,48 +87,59 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
     rolled = pltpu.roll(buf[:], -s0, 1)
     bufr = jnp.where(lane < _LANE - s0, rolled[0:sr1, :], rolled[1:span_rows, :])
 
-    # Stage 1 shared across windows: P[q, p, r] = sum_a bufr[q+a, p] C16[a, r].
+    # Stage 1 shared across windows: P[r, q, p] = sum_a bufr[q+a, p] C16[a, r]
+    # (r leads so per-residue slicing is a free major-dim slice).
     # P is needed at flat positions [0, 8*(rows-1) + 128): window j reads
     # P[8j + b] for b in [0, 128) (the remaining window extent lives in the
     # a-shifts inside P itself).
     qu = -(-(8 * (rows - 1) + _LANE) // _LANE)
-    stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])      # [16, qu, 128]
+    stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])      # [16a, qu, 128]
     dn = (((0,), (0,)), ((), ()))
-    p_re = jax.lax.dot_general(stack, c16_re_ref[:], dn, precision=hi,
-                               preferred_element_type=jnp.float32)  # [qu,128,16]
-    p_im = jax.lax.dot_general(stack, c16_im_ref[:], dn, precision=hi,
+    p_re = jax.lax.dot_general(c16_re_ref[:], stack, dn, precision=hi,
+                               preferred_element_type=jnp.float32)  # [16r,qu,128]
+    p_im = jax.lax.dot_general(c16_im_ref[:], stack, dn, precision=hi,
                                preferred_element_type=jnp.float32)
 
-    # Static re-tiling: G[(v,w), b, r]; window j=16w+v reads flat 128w+8v+b.
+    # Static re-tiling per residue: G_r[(v,w), b]; window j=16w+v reads flat
+    # 128w + 8v + b.
     vper = _LANE // 8
     wper = rows // vper
+    half = 64
 
-    def build_g(p3):
+    g_lane = jax.lax.broadcasted_iota(jnp.int32, (wper, _LANE), 1)
+
+    def build_g(p2):                                               # [qu, 128]
+        # Piece v = flat positions [128w + 8v, +128): a static roll by 8v
+        # with the row-boundary wrap selected per lane (Mosaic's lane-concat
+        # of offset slices is unimplemented, rolls are cheap).
         pieces = []
         for v in range(vper):
             cut = 8 * v
             if cut == 0:
-                pieces.append(p3[0:wper])
+                pieces.append(p2[0:wper, :])
             else:
-                pieces.append(jnp.concatenate(
-                    [p3[0:wper, cut:, :], p3[1:wper + 1, :cut, :]], axis=1))
-        return jnp.concatenate(pieces, axis=0)                     # [128,128,16]
+                # Left-rotate by `cut` == roll by 128-cut (static shifts must
+                # be non-negative).
+                rolled = pltpu.roll(p2, _LANE - cut, 1)
+                pieces.append(jnp.where(g_lane < _LANE - cut,
+                                        rolled[0:wper, :], rolled[1:wper + 1, :]))
+        return jnp.concatenate(pieces, axis=0)                     # [128, 128]
 
-    g_re = build_g(p_re)
-    g_im = build_g(p_im)
-
+    rows_acc = jnp.zeros((rows, out_ref.shape[-1]), jnp.float32)
     for r in range(_A):
-        x = (jnp.dot(g_re[:, :, r], t2a_ref[r], precision=hi,
+        g_re = build_g(p_re[r])
+        g_im = build_g(p_im[r])
+        x = (jnp.dot(g_re, t2a_ref[r], precision=hi,
                      preferred_element_type=jnp.float32)
-             + jnp.dot(g_im[:, :, r], t2b_ref[r], precision=hi,
-                       preferred_element_type=jnp.float32))        # [128, 2k]
+             + jnp.dot(g_im, t2b_ref[r], precision=hi,
+                       preferred_element_type=jnp.float32))        # [128, 128]
         x = jnp.where(x > 0.0, x * inv_div, x)                     # quirk Q5
-        v = x[:, :k_max] ** 2 + x[:, k_max:] ** 2
-        v_buf[:, r * k_max:(r + 1) * k_max] = jnp.where(jnp.isfinite(v), v, 0.0)
+        v = x[:, :half] ** 2 + x[:, half:] ** 2                    # [128, 64]
+        v = jnp.where(jnp.isfinite(v), v, 0.0)
+        rows_acc = rows_acc + jnp.dot(v, proj_ref[r], precision=hi,
+                                      preferred_element_type=jnp.float32)
 
-    rows_perm = jnp.dot(v_buf[:], proj_ref[:], precision=hi,
-                        preferred_element_type=jnp.float32)        # [(v,w), bands]
-    out_ref[0] = jnp.dot(perm_ref[:], rows_perm, precision=hi,
+    out_ref[0] = jnp.dot(perm_ref[:], rows_acc, precision=hi,
                          preferred_element_type=jnp.float32)
 
 
@@ -160,7 +183,6 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((span_rows, _LANE), jnp.float32),
-            pltpu.VMEM((rpf, _A * k_max), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )

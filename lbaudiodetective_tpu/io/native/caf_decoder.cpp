@@ -155,6 +155,10 @@ int lbad_read_caf(const char* path, float** out_samples, int64_t* out_n,
         int64_t csize = static_cast<int64_t>(be64(hdr + 4));
         size_t payload = off + 12;
         if (csize < 0) csize = static_cast<int64_t>(raw.size() - payload);
+        // Clamp truncated chunks to the bytes actually present (a cut file
+        // must decode its surviving prefix, not read past the buffer).
+        if (payload + static_cast<size_t>(csize) > raw.size())
+            csize = static_cast<int64_t>(raw.size() - payload);
         if (std::memcmp(hdr, "desc", 4) == 0 && payload + 32 <= raw.size()) {
             rate = be_f64(raw.data() + payload);
             std::memcpy(fmt, raw.data() + payload + 8, 4);
@@ -163,7 +167,7 @@ int lbad_read_caf(const char* path, float** out_samples, int64_t* out_n,
             bits = be32(raw.data() + payload + 28);
         } else if (std::memcmp(hdr, "pakt", 4) == 0 && payload + 24 <= raw.size()) {
             valid_frames = static_cast<int64_t>(be64(raw.data() + payload + 8));
-        } else if (std::memcmp(hdr, "data", 4) == 0) {
+        } else if (std::memcmp(hdr, "data", 4) == 0 && csize > 4) {
             data_chunk = raw.data() + payload + 4;  // skip edit count
             data_size = static_cast<size_t>(csize) - 4;
         }

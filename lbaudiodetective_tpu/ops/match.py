@@ -57,36 +57,20 @@ def similarity_matrix(pos1: jnp.ndarray, neg1: jnp.ndarray,
 def banded_diagonal_sums(sim: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:
     """``D[..., o] = sum_{i < n2} sim[..., o+i, i]`` for o in [0, S1).
 
-    Gather-free: the diagonal elements (o+i, i) of the row-padded matrix have
-    flat indices ``o*S2 + i*(S2+1)``, so after reshaping the flattened matrix
-    to width S2+1 each diagonal is a contiguous *column* segment — a prefix-sum
-    along rows turns every banded-diagonal sum into one subtraction.  The
-    variable valid length ``n2`` indexes the prefix sums dynamically.
+    Gather-free: column i contributes ``sim[:, o+i, i]``, i.e. column i
+    circularly shifted up by i — so D is a sum of S2 static rolls (vectorised
+    shifts, no per-element gather, which lowers poorly on TPU).  Columns
+    ``i >= n2`` are masked to zero first; circular wrap only touches offsets
+    ``o > S1 - 1 - i``, which are invalid (o <= n1 - n2 < S1 - i for every
+    contributing i < n2) and masked by the caller.
     """
-    *lead, s1, s2 = sim.shape
-    lead_pad = [(0, 0)] * len(lead)
-    t = jnp.pad(sim, lead_pad + [(0, s2), (0, 0)])          # rows -> s1+s2
-    flat = t.reshape(*lead, (s1 + s2) * s2)
-    m = s2 + 1
-    total = (s1 + s2) * s2
-    l_rows = -(-total // m)
-    flat = jnp.pad(flat, lead_pad + [(0, l_rows * m - total)])
-    v2 = flat.reshape(*lead, l_rows, m)
-    cs = jnp.cumsum(v2, axis=-2)
-    cs = jnp.pad(cs, lead_pad + [(1, 0), (0, 0)])           # prefix zero row
-    o = np.arange(s1)
-    q = jnp.asarray(((o * s2) // m).astype(np.int32))       # [O]
-    b = jnp.asarray(((o * s2) % m).astype(np.int32))        # [O]
-    hi_row = jnp.minimum(q + n2[..., None], l_rows)         # [..., O]
-
-    def pick(rows):
-        """cs[..., rows[o], b[o]] -> [..., O]"""
-        rows_b = jnp.broadcast_to(rows[..., None], (*lead, s1, m))
-        picked = jnp.take_along_axis(cs, rows_b, axis=-2)   # [..., O, m]
-        cols = jnp.broadcast_to(b[:, None], (*lead, s1, 1))
-        return jnp.take_along_axis(picked, cols, axis=-1)[..., 0]
-
-    return pick(hi_row) - pick(jnp.broadcast_to(q, hi_row.shape))
+    s2 = sim.shape[-1]
+    i_idx = jnp.arange(s2)
+    masked = sim * (i_idx < n2[..., None, None]).astype(sim.dtype)
+    total = jnp.zeros(masked.shape[:-1], masked.dtype)
+    for i in range(s2):
+        total = total + jnp.roll(masked[..., i], -i, axis=-1)
+    return total
 
 
 def offset_scores(sim: jnp.ndarray, n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:

@@ -28,19 +28,22 @@ from lbaudiodetective_tpu.ops import spectral
 from lbaudiodetective_tpu.ops.haar import haar_2d
 
 
-def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig
+def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig,
+                              rows_are_coeffs: bool = False
                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``[..., n_rows, bands] -> (pos, neg)`` uint8 ``[..., n_sub, pairs]``.
 
     ``n_rows`` must be a multiple of ``rows_per_frame``.  Rank order is
     preserved: pos/neg column j corresponds to the j-th largest-|coefficient|
     (ties break toward the lower flat index; lax.top_k is stable).
+    ``rows_are_coeffs``: input is already per-frame 2-D Haar coefficients
+    (the fused kernel's fuse_haar output) — skip the Haar matmuls.
     """
     *lead, n_rows, bands = rows.shape
     rpf = config.rows_per_frame
     n_sub = n_rows // rpf
     frames = rows.reshape(*lead, n_sub, rpf, bands)
-    coeffs = haar_2d(frames, precision=config.precision)
+    coeffs = frames if rows_are_coeffs else haar_2d(frames, precision=config.precision)
     flat = coeffs.reshape(*lead, n_sub, rpf * bands)
     k = config.num_wavelet_pairs
     _, idx = jax.lax.top_k(jnp.abs(flat), k)
@@ -93,26 +96,30 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
     if n_rows % config.rows_per_frame:
         raise ValueError("n_rows must be a multiple of rows_per_frame")
     impl = _rows_impl_auto(config) if rows_impl == "auto" else rows_impl
+    rows_are_coeffs = False
     if impl == "conv" and audio.ndim in (1, 2):
         batched = audio if audio.ndim == 2 else audio[None]
         rows = spectral.conv_band_rows(batched, config, n_rows)
         rows = rows if audio.ndim == 2 else rows[0]
-    elif impl in ("fused", "fused_v2") and audio.ndim in (1, 2):
-        if impl == "fused_v2":
-            from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import (
-                fused_band_rows_v2 as rows_fn)
-        else:
-            from lbaudiodetective_tpu.ops.pallas.fused_rows import (
-                fused_band_rows as rows_fn)
+    elif impl == "fused_v2" and audio.ndim in (1, 2):
+        from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v2
+
+        batched = audio if audio.ndim == 2 else audio[None]
+        rows = fused_band_rows_v2(batched, config, n_rows, fuse_haar=True)
+        rows = rows if audio.ndim == 2 else rows[0]
+        rows_are_coeffs = True
+    elif impl == "fused" and audio.ndim in (1, 2):
+        from lbaudiodetective_tpu.ops.pallas.fused_rows import fused_band_rows
+
         if audio.ndim == 1:
-            rows = rows_fn(audio[None], config, n_rows)[0]
+            rows = fused_band_rows(audio[None], config, n_rows)[0]
         else:
-            rows = rows_fn(audio, config, n_rows)
+            rows = fused_band_rows(audio, config, n_rows)
     else:
         starts = spectral.window_starts(config, n_rows)
         windows = spectral.frame_windows(audio, starts, config.window_size)
         rows = spectral.band_energies(windows, config)
-    pos, neg = subfingerprints_from_rows(rows, config)
+    pos, neg = subfingerprints_from_rows(rows, config, rows_are_coeffs)
     n_sub = n_rows // config.rows_per_frame
     valid = (jnp.arange(n_sub) < n_valid_sub[..., None]).astype(jnp.uint8)
     return pos * valid[..., None], neg * valid[..., None]

@@ -36,7 +36,7 @@ from lbaudiodetective_tpu.ops.pallas.fused_rows import (_A, _LANE, _kernel_const
 
 
 @lru_cache(maxsize=8)
-def _v2_constants(config: FingerprintConfig):
+def _v2_constants(config: FingerprintConfig, fuse_haar: bool = False):
     c16, s16, t_re, t_im, proj_perm, k_max = _kernel_constants(config)
     # Stage-2 stacked matrices padded to a full 128 lanes so every in-kernel
     # slice falls on the 64-lane boundary: X_all = G_re @ A + G_im @ B with
@@ -61,16 +61,27 @@ def _v2_constants(config: FingerprintConfig):
     for j in range(rpf):
         w, v = divmod(j, vper)
         perm[j, v * wper + w] = 1.0
-    return c16, s16, t2a, t2b, proj_r, k_max, perm
+    if fuse_haar:
+        # One frame tile == one 128-row Haar frame: fold the row-axis Haar
+        # matrix into the un-permutation matmul (H128 @ PERM) and emit 2-D
+        # Haar coefficients directly; the column pass uses H32^T.
+        from lbaudiodetective_tpu.ops.haar import haar_matrix
+
+        perm = haar_matrix(rpf).astype(np.float32) @ perm
+        h_cols_t = haar_matrix(config.pitch_step_count).astype(np.float32).T
+    else:
+        h_cols_t = np.eye(config.pitch_step_count, dtype=np.float32)
+    return c16, s16, t2a, t2b, proj_r, k_max, perm, h_cols_t
 
 
 def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                     audio_ref,                          # HBM [B, T/128, 128]
                     c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref, perm_ref,
+                    hcols_ref,
                     out_ref,                            # VMEM out [1, 128, bands]
                     buf, sem,
                     *, span_rows: int, window: int, rows: int,
-                    inv_div: float, k_max: int, precision):
+                    inv_div: float, k_max: int, precision, fuse_haar: bool):
     b = pl.program_id(0)
     t = pl.program_id(1)
     hi = precision
@@ -139,15 +150,24 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
         rows_acc = rows_acc + jnp.dot(v, proj_ref[r], precision=hi,
                                       preferred_element_type=jnp.float32)
 
-    out_ref[0] = jnp.dot(perm_ref[:], rows_acc, precision=hi,
-                         preferred_element_type=jnp.float32)
+    out = jnp.dot(perm_ref[:], rows_acc, precision=hi,
+                  preferred_element_type=jnp.float32)
+    if fuse_haar:  # column-axis Haar pass (row pass is folded into perm_ref)
+        out = jnp.dot(out, hcols_ref[:], precision=hi,
+                      preferred_element_type=jnp.float32)
+    out_ref[0] = out
 
 
-@partial(jax.jit, static_argnames=("config", "n_rows", "interpret"))
+@partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar"))
 def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
-                       n_rows: int, interpret: bool = False) -> jnp.ndarray:
+                       n_rows: int, interpret: bool = False,
+                       fuse_haar: bool = False) -> jnp.ndarray:
     """``[B, T] audio -> [B, n_rows, bands]``; requires hop == 8 and the
-    default window/frame geometry (window 2048, 128 rows/frame)."""
+    default window/frame geometry (window 2048, 128 rows/frame).
+
+    With ``fuse_haar`` the output is the per-frame 2-D Haar coefficient
+    tensor instead of raw band rows (the row-axis Haar matrix rides the
+    existing un-permutation matmul; only one extra [128,32]@[32,32] matmul)."""
     rpf = config.rows_per_frame
     window = config.window_size
     if not (config.has_integer_hop and int(config.hop_in_processing_samples) == 8):
@@ -171,14 +191,15 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
         audio = jnp.pad(audio, ((0, 0), (0, t_pad - audio.shape[1])))
     audio2d = audio.reshape(batch, t_pad // _LANE, _LANE)
 
-    c16, s16, t2a, t2b, proj_perm, k_max, perm = _v2_constants(config)
+    c16, s16, t2a, t2b, proj_perm, k_max, perm, h_cols_t = _v2_constants(
+        config, fuse_haar)
     bands = config.pitch_step_count
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec((1, rpf, bands), lambda b, t, *_: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -188,7 +209,8 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     )
     kernel = partial(_rows_kernel_v2, span_rows=span_rows, window=window,
                      rows=rpf, inv_div=1.0 / config.spectrum_scale_divisor,
-                     k_max=k_max, precision=_pallas_precision(config.precision))
+                     k_max=k_max, precision=_pallas_precision(config.precision),
+                     fuse_haar=fuse_haar)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -198,4 +220,4 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(jnp.asarray(s0), jnp.asarray(base_row), audio2d,
       jnp.asarray(c16), jnp.asarray(s16), jnp.asarray(t2a), jnp.asarray(t2b),
-      jnp.asarray(proj_perm), jnp.asarray(perm))
+      jnp.asarray(proj_perm), jnp.asarray(perm), jnp.asarray(h_cols_t))

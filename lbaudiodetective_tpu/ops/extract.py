@@ -69,8 +69,9 @@ def _rows_impl_auto(config: FingerprintConfig) -> str:
         on_accel = False
     if config.has_integer_hop:
         hop = int(config.hop_in_processing_samples)
-        if (on_accel and hop == 8 and config.window_size == 2048
-                and config.rows_per_frame % 16 == 0):
+        if (on_accel and hop > 0 and 128 % hop == 0
+                and config.window_size == 2048
+                and config.rows_per_frame % (128 // hop) == 0):
             return "fused_v2"
         return "conv"
     return "fused" if on_accel else "xla"

@@ -1,4 +1,5 @@
-"""Fused spectral-rows Pallas kernel, v2 — integer-hop (hop=8) fast path.
+"""Fused spectral-rows Pallas kernel, v2 — integer-hop fast path (any hop
+dividing 128; 8 in parity mode, 64 in 'proc' mode).
 
 The v1 kernel (fused_rows.py) supports arbitrary window-start patterns but
 pays a 128-iteration dynamic-roll loop per tile.  With the integer-hop spec
@@ -37,6 +38,7 @@ from lbaudiodetective_tpu.ops.pallas.fused_rows import (_A, _LANE, _kernel_const
 
 @lru_cache(maxsize=8)
 def _v2_constants(config: FingerprintConfig, fuse_haar: bool = False):
+    hop = int(config.hop_in_processing_samples)
     c16, s16, t_re, t_im, proj_perm, k_max = _kernel_constants(config)
     # Stage-2 stacked matrices padded to a full 128 lanes so every in-kernel
     # slice falls on the 64-lane boundary: X_all = G_re @ A + G_im @ B with
@@ -55,8 +57,8 @@ def _v2_constants(config: FingerprintConfig, fuse_haar: bool = False):
     for r in range(_A):
         proj_r[r, :k_max] = proj_perm[r * k_max:(r + 1) * k_max]
     rpf = config.rows_per_frame
-    vper = _LANE // 8                                   # windows per 128 flat = 16
-    wper = rpf // vper                                  # = 8
+    vper = _LANE // hop                                 # windows per 128 flat
+    wper = rpf // vper
     perm = np.zeros((rpf, rpf), np.float32)             # out[j] = rows[(v,w)]
     for j in range(rpf):
         w, v = divmod(j, vper)
@@ -80,7 +82,7 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                     hcols_ref,
                     out_ref,                            # VMEM out [1, 128, bands]
                     buf, sem,
-                    *, span_rows: int, window: int, rows: int,
+                    *, span_rows: int, window: int, rows: int, hop: int,
                     inv_div: float, k_max: int, precision, fuse_haar: bool):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -103,7 +105,7 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
     # P is needed at flat positions [0, 8*(rows-1) + 128): window j reads
     # P[8j + b] for b in [0, 128) (the remaining window extent lives in the
     # a-shifts inside P itself).
-    qu = -(-(8 * (rows - 1) + _LANE) // _LANE)
+    qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
     stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])      # [16a, qu, 128]
     dn = (((0,), (0,)), ((), ()))
     p_re = jax.lax.dot_general(c16_re_ref[:], stack, dn, precision=hi,
@@ -111,9 +113,9 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
     p_im = jax.lax.dot_general(c16_im_ref[:], stack, dn, precision=hi,
                                preferred_element_type=jnp.float32)
 
-    # Static re-tiling per residue: G_r[(v,w), b]; window j=16w+v reads flat
-    # 128w + 8v + b.
-    vper = _LANE // 8
+    # Static re-tiling per residue: G_r[(v,w), b]; window j = vper*w + v
+    # reads flat 128w + hop*v + b.
+    vper = _LANE // hop
     wper = rows // vper
     half = 64
 
@@ -125,7 +127,7 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
         # of offset slices is unimplemented, rolls are cheap).
         pieces = []
         for v in range(vper):
-            cut = 8 * v
+            cut = hop * v
             if cut == 0:
                 pieces.append(p2[0:wper, :])
             else:
@@ -170,9 +172,12 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     existing un-permutation matmul; only one extra [128,32]@[32,32] matmul)."""
     rpf = config.rows_per_frame
     window = config.window_size
-    if not (config.has_integer_hop and int(config.hop_in_processing_samples) == 8):
-        raise ValueError("v2 kernel requires an integer hop of 8")
-    if n_rows % rpf or window % _LANE or rpf % (_LANE // 8):
+    if not config.has_integer_hop:
+        raise ValueError("v2 kernel requires an integer hop")
+    hop = int(config.hop_in_processing_samples)
+    if hop <= 0 or _LANE % hop:
+        raise ValueError("v2 kernel requires the hop to divide 128")
+    if n_rows % rpf or window % _LANE or rpf % (_LANE // hop):
         raise ValueError("unsupported geometry for the v2 kernel")
     n_tiles = n_rows // rpf
     batch = audio.shape[0]
@@ -182,7 +187,7 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     base_row = (tile_first // _LANE).astype(np.int32)
     s0 = (tile_first - base_row.astype(np.int64) * _LANE).astype(np.int32)
     span_need = int(np.max(tile_first - base_row.astype(np.int64) * _LANE)
-                    ) + 8 * (rpf - 1) + window
+                    ) + hop * (rpf - 1) + window
     span_rows = -(-(span_need // _LANE + 2) // 8) * 8   # sublane-aligned DMA
     t_need = int((base_row.max() + span_rows) * _LANE)
     t_pad = max(t_need, audio.shape[1])
@@ -208,7 +213,8 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
         ],
     )
     kernel = partial(_rows_kernel_v2, span_rows=span_rows, window=window,
-                     rows=rpf, inv_div=1.0 / config.spectrum_scale_divisor,
+                     rows=rpf, hop=hop,
+                     inv_div=1.0 / config.spectrum_scale_divisor,
                      k_max=k_max, precision=_pallas_precision(config.precision),
                      fuse_haar=fuse_haar)
     return pl.pallas_call(

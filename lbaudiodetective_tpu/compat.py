@@ -28,7 +28,8 @@ from lbaudiodetective_tpu.models.detective import AudioDetective
 from lbaudiodetective_tpu.models.fingerprint import Fingerprint
 from lbaudiodetective_tpu.ops.match import match_fingerprints
 
-# Constants (LBAudioDetective.m:22-26)
+# Constants (LBAudioDetective.m:20-26)
+kLBAudioDetectiveArgumentInvalid = 1  # OSStatus analogue; raised as ValueError
 kLBAudioDetectiveDefaultWindowSize = DEFAULT_WINDOW_SIZE
 kLBAudioDetectiveDefaultAnalysisStride = DEFAULT_ANALYSIS_STRIDE
 kLBAudioDetectiveDefaultNumberOfPitchSteps = DEFAULT_PITCH_STEP_COUNT

@@ -98,3 +98,28 @@ def resample_rational(x: np.ndarray, fs_in: float, fs_out: float,
     idx = (base + taps)[:, None] + np.arange(taps, dtype=np.int64)[None, :]
     windows = xp[idx]
     return np.einsum("nt,nt->n", windows, bank[phase]).astype(np.float32)
+
+
+def resample_rational_jax(x, fs_in: float, fs_out: float, n_in: int | None = None):
+    """Device-side resampler: same polyphase bank as the host path, as a
+    JAX gather + per-row dot (identical plan arithmetic -> identical samples
+    up to contraction order).
+
+    ``x``: ``[..., T]`` float32 on device; ``n_in`` fixes the plan length for
+    jit (defaults to T).  Returns ``[..., n_out]``.
+    """
+    import jax.numpy as jnp
+
+    if fs_in == fs_out:
+        return x
+    up, down = _reduce_ratio(fs_in, fs_out)
+    bank = design_polyphase_bank(up, down)
+    taps = bank.shape[1]
+    n_in = int(x.shape[-1]) if n_in is None else n_in
+    n_out, base, phase = polyphase_plan(n_in, up, down, bank)
+    pad = [(0, 0)] * (x.ndim - 1) + [(taps, taps)]
+    xp = jnp.pad(x, pad)
+    idx = jnp.asarray((base + taps)[:, None] + np.arange(taps, dtype=np.int64)[None, :])
+    windows = xp[..., idx]                                   # [..., n_out, taps]
+    weights = jnp.asarray(bank[phase])                       # [n_out, taps]
+    return jnp.einsum("...nt,nt->...n", windows, weights)

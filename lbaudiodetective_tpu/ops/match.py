@@ -136,6 +136,72 @@ def match_fingerprints(fp1: tuple[np.ndarray, np.ndarray],
     return float(score)
 
 
+@partial(jax.jit, static_argnames=("comparison_range", "subfingerprint_length",
+                                   "chunk"))
+def match_long_padded(pos1, neg1, n1, pos2, neg2, n2,
+                      comparison_range: int = 0,
+                      subfingerprint_length: int = 200,
+                      chunk: int = 512):
+    """Long-context one-vs-one matcher: fp1 may be hours long.
+
+    Never materialises the full [S1, S2] similarity matrix: fp1 is scanned in
+    ``chunk``-row blocks (SURVEY §5 long-context axis); each block's
+    similarity [chunk, S2] contributes its banded-diagonal sums to the global
+    offset accumulator via the same roll-sum reduction.  fp1 must be the
+    longer side (no swap here) and padded to a multiple of ``chunk``.
+    """
+    s1, pairs = pos1.shape
+    s2 = pos2.shape[0]
+    if s1 % chunk:
+        raise ValueError("pos1 must be padded to a multiple of chunk")
+    mask = jnp.asarray(_pair_mask(pairs, comparison_range, subfingerprint_length))
+    mb = mask.astype(jnp.bfloat16)
+    p2 = pos2.astype(jnp.bfloat16)
+    q2 = neg2.astype(jnp.bfloat16)
+    i_idx = jnp.arange(s2)
+    i_mask = (i_idx < n2).astype(jnp.float32)
+
+    n_blocks = s1 // chunk
+    p1b = pos1.reshape(n_blocks, chunk, pairs)
+    n1b = neg1.reshape(n_blocks, chunk, pairs)
+
+    def block(carry, inp):
+        d_acc = carry
+        blk_idx, bp, bn = inp
+        lp = bp.astype(jnp.bfloat16) * mb
+        ln = bn.astype(jnp.bfloat16) * mb
+        hits = (jnp.dot(lp, p2.T, preferred_element_type=jnp.float32)
+                + jnp.dot(ln, q2.T, preferred_element_type=jnp.float32))
+        w = jnp.sum((lp + ln).astype(jnp.float32), axis=-1)
+        sim = jnp.where(w[:, None] > 0.0, hits / jnp.maximum(w, 1.0)[:, None], 0.0)
+        sim = sim * i_mask[None, :]
+        #
+
+        # Block rows r correspond to global rows g = blk_idx*chunk + r; the
+        # diagonal element (o+i == g) lands at offset o = g - i.  Column i of
+        # this block therefore contributes to offsets [g0 - i, g0 - i + chunk)
+        # — accumulate each rolled column into a (chunk + S2)-wide window and
+        # scatter-add it at the block's base offset.
+        local = jnp.zeros((chunk + s2,), jnp.float32)
+        for i in range(s2):
+            local = local.at[s2 - i:s2 - i + chunk].add(sim[:, i])
+        start = blk_idx * chunk - s2
+        padded_acc = jnp.pad(d_acc, (s2, s2))
+        padded_acc = jax.lax.dynamic_update_slice(
+            padded_acc,
+            jax.lax.dynamic_slice(padded_acc, (start + s2,), (chunk + s2,)) + local,
+            (start + s2,))
+        return padded_acc[s2:-s2], None
+
+    d0 = jnp.zeros((s1,), jnp.float32)
+    d_final, _ = jax.lax.scan(
+        block, d0, (jnp.arange(n_blocks), p1b, n1b))
+    means = d_final / jnp.maximum(n2, 1).astype(jnp.float32)
+    o_valid = jnp.arange(s1) <= (n1 - n2)
+    means = jnp.where(o_valid, means, 0.0)
+    return jnp.where(n2 > 0, jnp.max(means), 0.0)
+
+
 @partial(jax.jit, static_argnames=("comparison_range", "subfingerprint_length"))
 def match_one_vs_many_padded(query_pos, query_neg, n_query,
                              lib_pos, lib_neg, n_lib,

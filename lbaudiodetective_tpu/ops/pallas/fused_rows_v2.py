@@ -76,6 +76,15 @@ def _v2_constants(config: FingerprintConfig, fuse_haar: bool = False):
     return c16, s16, t2a, t2b, proj_r, k_max, perm, h_cols_t
 
 
+def _split_bf16(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~ x (for 3-pass matmuls)."""
+    import ml_dtypes
+
+    hi = x.astype(ml_dtypes.bfloat16)
+    lo = (x - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
 def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                     audio_ref,                          # HBM [B, T/128, 128]
                     c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref, perm_ref,
@@ -83,7 +92,8 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                     out_ref,                            # VMEM out [1, 128, bands]
                     buf, sem,
                     *, span_rows: int, window: int, rows: int, hop: int,
-                    inv_div: float, k_max: int, precision, fuse_haar: bool):
+                    inv_div: float, k_max: int, precision, fuse_haar: bool,
+                    bf16x3: bool):
     b = pl.program_id(0)
     t = pl.program_id(1)
     hi = precision
@@ -138,14 +148,25 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                                         rolled[0:wper, :], rolled[1:wper + 1, :]))
         return jnp.concatenate(pieces, axis=0)                     # [128, 128]
 
+    def stage2_dot(g, t_ref, r):
+        if not bf16x3:
+            return jnp.dot(g, t_ref[r], precision=hi,
+                           preferred_element_type=jnp.float32)
+        # Manual 3-pass bf16 (~HIGH precision, half the passes of HIGHEST):
+        # t_ref holds (hi, lo) bf16 planes stacked on a leading axis.
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        t_hi = t_ref[0, r]
+        t_lo = t_ref[1, r]
+        return (jnp.dot(g_hi, t_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(g_hi, t_lo, preferred_element_type=jnp.float32)
+                + jnp.dot(g_lo, t_hi, preferred_element_type=jnp.float32))
+
     rows_acc = jnp.zeros((rows, out_ref.shape[-1]), jnp.float32)
     for r in range(_A):
         g_re = build_g(p_re[r])
         g_im = build_g(p_im[r])
-        x = (jnp.dot(g_re, t2a_ref[r], precision=hi,
-                     preferred_element_type=jnp.float32)
-             + jnp.dot(g_im, t2b_ref[r], precision=hi,
-                       preferred_element_type=jnp.float32))        # [128, 128]
+        x = stage2_dot(g_re, t2a_ref, r) + stage2_dot(g_im, t2b_ref, r)  # [128,128]
         x = jnp.where(x > 0.0, x * inv_div, x)                     # quirk Q5
         v = x[:, :half] ** 2 + x[:, half:] ** 2                    # [128, 64]
         v = jnp.where(jnp.isfinite(v), v, 0.0)
@@ -199,6 +220,12 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     c16, s16, t2a, t2b, proj_perm, k_max, perm, h_cols_t = _v2_constants(
         config, fuse_haar)
     bands = config.pitch_step_count
+    # matmul_precision "high" -> manual 3-pass bf16 stage-2 (Mosaic itself
+    # only offers 1-pass DEFAULT or 6-pass HIGHEST).
+    bf16x3 = (config.matmul_precision == "high") and not interpret
+    if bf16x3:
+        t2a = np.stack(_split_bf16(t2a))                    # [2, 16, 128, 128]
+        t2b = np.stack(_split_bf16(t2b))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -216,7 +243,7 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
                      rows=rpf, hop=hop,
                      inv_div=1.0 / config.spectrum_scale_divisor,
                      k_max=k_max, precision=_pallas_precision(config.precision),
-                     fuse_haar=fuse_haar)
+                     fuse_haar=fuse_haar, bf16x3=bf16x3)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -38,6 +38,12 @@ class DecodedAudio:
 
 
 def _read_file(path: str) -> tuple[np.ndarray, float]:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        from lbaudiodetective_tpu.io.wav import read_wav
+
+        return read_wav(path)
     try:
         from lbaudiodetective_tpu.io.native import binding as native
     except Exception:

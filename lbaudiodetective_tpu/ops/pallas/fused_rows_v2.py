@@ -93,35 +93,44 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                     buf, sem,
                     *, span_rows: int, window: int, rows: int, hop: int,
                     inv_div: float, k_max: int, precision, fuse_haar: bool,
-                    bf16x3: bool):
+                    bf16x3: bool, tps: int):
     b = pl.program_id(0)
-    t = pl.program_id(1)
+    tt = pl.program_id(1)
     hi = precision
 
-    dma = pltpu.make_async_copy(
-        audio_ref.at[b, pl.ds(base_row_ref[t], span_rows), :], buf, sem)
-    dma.start()
-    dma.wait()
+    # Issue every tile's DMA up front so the copies overlap each other and
+    # the first tile's compute.
+    dmas = []
+    for k in range(tps):
+        dmas.append(pltpu.make_async_copy(
+            audio_ref.at[b, pl.ds(base_row_ref[tt * tps + k], span_rows), :],
+            buf.at[k], sem.at[k]))
+        dmas[-1].start()
 
-    # Align so window j starts at flat position 8j: one dynamic roll by s0.
-    s0 = s0_ref[t]
     sr1 = span_rows - 1
     lane = jax.lax.broadcasted_iota(jnp.int32, (sr1, _LANE), 1)
-    rolled = pltpu.roll(buf[:], -s0, 1)
-    bufr = jnp.where(lane < _LANE - s0, rolled[0:sr1, :], rolled[1:span_rows, :])
-
-    # Stage 1 shared across windows: P[r, q, p] = sum_a bufr[q+a, p] C16[a, r]
-    # (r leads so per-residue slicing is a free major-dim slice).
-    # P is needed at flat positions [0, 8*(rows-1) + 128): window j reads
-    # P[8j + b] for b in [0, 128) (the remaining window extent lives in the
-    # a-shifts inside P itself).
     qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
-    stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])      # [16a, qu, 128]
     dn = (((0,), (0,)), ((), ()))
-    p_re = jax.lax.dot_general(c16_re_ref[:], stack, dn, precision=hi,
-                               preferred_element_type=jnp.float32)  # [16r,qu,128]
-    p_im = jax.lax.dot_general(c16_im_ref[:], stack, dn, precision=hi,
-                               preferred_element_type=jnp.float32)
+
+    p_res, p_ims = [], []
+    for k in range(tps):
+        dmas[k].wait()
+        # Align so window j starts at flat position hop*j: one dynamic roll.
+        s0 = s0_ref[tt * tps + k]
+        rolled = pltpu.roll(buf[k], -s0, 1)
+        bufr = jnp.where(lane < _LANE - s0, rolled[0:sr1, :],
+                         rolled[1:span_rows, :])
+        # Stage 1 shared across windows: P[r, q, p] = sum_a bufr[q+a, p]
+        # C16[a, r] (r leads so per-residue slicing is a free major slice).
+        # P is needed at flat positions [0, hop*(rows-1) + 128): window j
+        # reads P[hop*j + b] for b in [0, 128).
+        stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])  # [16a,qu,128]
+        p_res.append(jax.lax.dot_general(
+            c16_re_ref[:], stack, dn, precision=hi,
+            preferred_element_type=jnp.float32))                   # [16r,qu,128]
+        p_ims.append(jax.lax.dot_general(
+            c16_im_ref[:], stack, dn, precision=hi,
+            preferred_element_type=jnp.float32))
 
     # Static re-tiling per residue: G_r[(v,w), b]; window j = vper*w + v
     # reads flat 128w + hop*v + b.
@@ -162,17 +171,19 @@ def _rows_kernel_v2(s0_ref, base_row_ref,               # scalar prefetch
                 + jnp.dot(g_hi, t_lo, preferred_element_type=jnp.float32)
                 + jnp.dot(g_lo, t_hi, preferred_element_type=jnp.float32))
 
-    rows_acc = jnp.zeros((rows, out_ref.shape[-1]), jnp.float32)
+    rows_acc = jnp.zeros((tps * rows, out_ref.shape[-1]), jnp.float32)
     for r in range(_A):
-        g_re = build_g(p_re[r])
-        g_im = build_g(p_im[r])
-        x = stage2_dot(g_re, t2a_ref, r) + stage2_dot(g_im, t2b_ref, r)  # [128,128]
+        # Stack all tiles of this step into one tall matmul (M = tps*rows).
+        g_re = jnp.concatenate([build_g(p_res[k][r]) for k in range(tps)], axis=0)
+        g_im = jnp.concatenate([build_g(p_ims[k][r]) for k in range(tps)], axis=0)
+        x = stage2_dot(g_re, t2a_ref, r) + stage2_dot(g_im, t2b_ref, r)
         x = jnp.where(x > 0.0, x * inv_div, x)                     # quirk Q5
-        v = x[:, :half] ** 2 + x[:, half:] ** 2                    # [128, 64]
+        v = x[:, :half] ** 2 + x[:, half:] ** 2                    # [.., 64]
         v = jnp.where(jnp.isfinite(v), v, 0.0)
         rows_acc = rows_acc + jnp.dot(v, proj_ref[r], precision=hi,
                                       preferred_element_type=jnp.float32)
 
+    # perm_ref is the block-diagonal per-tile un-permutation (x Haar row pass).
     out = jnp.dot(perm_ref[:], rows_acc, precision=hi,
                   preferred_element_type=jnp.float32)
     if fuse_haar:  # column-axis Haar pass (row pass is folded into perm_ref)
@@ -226,24 +237,32 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     if bf16x3:
         t2a = np.stack(_split_bf16(t2a))                    # [2, 16, 128, 128]
         t2b = np.stack(_split_bf16(t2b))
+    # Tiles per grid step: amortises DMA latency and grid overhead, and makes
+    # the stage-2 matmuls 4x taller (better MXU pipelining).
+    tps = 4 if n_tiles % 4 == 0 else (2 if n_tiles % 2 == 0 else 1)
+    perm_blk = np.zeros((tps * rpf, tps * rpf), np.float32)
+    for k in range(tps):
+        perm_blk[k * rpf:(k + 1) * rpf, k * rpf:(k + 1) * rpf] = perm
+    perm = perm_blk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(batch, n_tiles),
+        grid=(batch, n_tiles // tps),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec((1, rpf, bands), lambda b, t, *_: (b, t, 0),
+        out_specs=pl.BlockSpec((1, tps * rpf, bands),
+                               lambda b, t, *_: (b, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((span_rows, _LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((tps, span_rows, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((tps,)),
         ],
     )
     kernel = partial(_rows_kernel_v2, span_rows=span_rows, window=window,
                      rows=rpf, hop=hop,
                      inv_div=1.0 / config.spectrum_scale_divisor,
                      k_max=k_max, precision=_pallas_precision(config.precision),
-                     fuse_haar=fuse_haar, bf16x3=bf16x3)
+                     fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

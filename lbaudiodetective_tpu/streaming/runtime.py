@@ -100,6 +100,14 @@ class StreamingExtractor:
         self.f_max = max(1, (self.r_max + cfg.rows_per_frame - 1) // cfg.rows_per_frame + 1)
         need = cfg.window_size + self.chunk_size
         self.l_buf = 1 << int(np.ceil(np.log2(need)))
+        # Frame-aligned fast path: when one chunk is exactly one frame of
+        # windows (chunk == rows_per_frame * hop, integer hop), every step
+        # has the SAME relative window grid, so a step is just a linear
+        # buffer shift + the standard batched extractor (which itself picks
+        # the fused Pallas kernel on TPU) — no ring bookkeeping at all.
+        self.aligned = (cfg.has_integer_hop
+                        and self.chunk_size == cfg.rows_per_frame
+                        * int(self.hop))
         self.reset()
 
     def reset(self, keep_collected: bool = False) -> None:
@@ -108,6 +116,13 @@ class StreamingExtractor:
         self.audio_ring = jnp.zeros((self.batch, self.l_buf), jnp.float32)
         self.rows_ring = jnp.zeros((self.batch, _ROWS_RING, cfg.pitch_step_count),
                                    jnp.float32)
+        if self.aligned:
+            # Linear buffer holding exactly the trailing `lag` chunks — the
+            # span one frame of windows needs.
+            span = (cfg.rows_per_frame - 1) * int(self.hop) + cfg.window_size
+            self.lag = -(-span // self.chunk_size)
+            self.lin_buf = jnp.zeros(
+                (self.batch, self.lag * self.chunk_size), jnp.float32)
         self.total_samples = 0
         self.rows_done = 0
         if not keep_collected:
@@ -125,6 +140,9 @@ class StreamingExtractor:
         if chunk.shape != (self.batch, self.chunk_size):
             raise ValueError(f"chunk must be [{self.batch}, {self.chunk_size}]")
         new_total = self.total_samples + self.chunk_size
+
+        if self.aligned:
+            return self._feed_aligned(chunk, new_total)
 
         # Rows whose window now fits entirely in the received samples.
         r0 = self.rows_done
@@ -167,6 +185,35 @@ class StreamingExtractor:
         if n_completed:
             self.collected.append((pos, neg))
         return pos, neg, n_completed
+
+    def _feed_aligned(self, chunk: np.ndarray, new_total: int):
+        """Frame-aligned step: shift the linear buffer and, once enough
+        samples exist, run the standard batched extractor on it (one frame =
+        one subfingerprint per stream per step)."""
+        import jax.numpy as jnp
+
+        from lbaudiodetective_tpu.ops.extract import extract_fingerprint_padded
+
+        cfg = self.config
+        self.lin_buf = jnp.concatenate(
+            [self.lin_buf[:, self.chunk_size:], jnp.asarray(chunk, jnp.float32)],
+            axis=1)
+        self.total_samples = new_total
+        steps_done = new_total // self.chunk_size
+        frame = steps_done - self.lag          # frame index completed this step
+        frames_emitted = self.rows_done // cfg.rows_per_frame
+        pairs = cfg.num_wavelet_pairs
+        if frame < frames_emitted or frame < 0:  # warmup: not enough audio yet
+            return (np.zeros((self.batch, 0, pairs), np.uint8),
+                    np.zeros((self.batch, 0, pairs), np.uint8), 0)
+        pos, neg = extract_fingerprint_padded(
+            self.lin_buf, jnp.ones((self.batch,), jnp.int32), cfg,
+            cfg.rows_per_frame)
+        self.rows_done = (frame + 1) * cfg.rows_per_frame
+        pos = np.asarray(pos)
+        neg = np.asarray(neg)
+        self.collected.append((pos, neg))
+        return pos, neg, 1
 
     def fingerprints(self) -> list[Fingerprint]:
         """One Fingerprint per stream from all collected subfingerprints."""

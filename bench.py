@@ -108,7 +108,8 @@ def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
     ext = StreamingExtractor(batch=n_streams, chunk_size=chunk, config=config)
     rng = np.random.default_rng(2)
     chunks = (rng.standard_normal((steps, n_streams, chunk)) * 0.1).astype(np.float32)
-    ext.feed(chunks[0])  # compile
+    for w in range(min(6, steps)):  # warm past frame emission (compiles)
+        ext.feed(chunks[w])
     ext.reset()
     t0 = time.perf_counter()
     for s in range(steps):

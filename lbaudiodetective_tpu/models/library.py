@@ -1,0 +1,100 @@
+"""FingerprintLibrary: a device-resident, packed fingerprint database.
+
+The analogue of the essay's server-side fingerprint DB (PDF §3.2.5): entries
+live packed (two uint32 bit planes, 16x smaller than the matmul matcher's
+broadcast planes), matching runs the popcount kernel, and the whole DB
+round-trips through utils.serialize.  For multi-chip deployments the entry
+axis shards over the mesh "library" axis (parallel.sharded) and 1M-track
+all-pairs dedup uses parallel.dedup.ring_dedup_topk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.ops.extract import bucket_subfingerprints
+from lbaudiodetective_tpu.ops.match_packed import (
+    match_one_vs_many_packed, pack_bits_device)
+from lbaudiodetective_tpu.utils import packing, serialize
+
+
+class FingerprintLibrary:
+    def __init__(self, pos_words, neg_words, counts, pairs: int,
+                 config: FingerprintConfig | None = None):
+        self.config = config or FingerprintConfig()
+        self.pos_words = jnp.asarray(pos_words)      # [L, S, W] uint32
+        self.neg_words = jnp.asarray(neg_words)
+        self.counts = jnp.asarray(counts)            # [L] int32
+        self.pairs = pairs
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def from_fingerprints(cls, fps: list[Fingerprint],
+                          config: FingerprintConfig | None = None
+                          ) -> "FingerprintLibrary":
+        if not fps:
+            raise ValueError("empty library")
+        pairs = fps[0].pairs
+        s_max = bucket_subfingerprints(max(f.num_subfingerprints for f in fps))
+        w = packing.words_per_plane(pairs)
+        pos = np.zeros((len(fps), s_max, w), np.uint32)
+        neg = np.zeros((len(fps), s_max, w), np.uint32)
+        counts = np.zeros(len(fps), np.int32)
+        for i, f in enumerate(fps):
+            pw, nw = f.packed()
+            counts[i] = f.num_subfingerprints
+            pos[i, :pw.shape[0]] = pw
+            neg[i, :nw.shape[0]] = nw
+        return cls(pos, neg, counts, pairs, config)
+
+    def __len__(self) -> int:
+        return int(self.pos_words.shape[0])
+
+    # -- matching -------------------------------------------------------------
+
+    def match(self, query: Fingerprint, comparison_range: int = 0) -> np.ndarray:
+        """``[L]`` match scores of a query against every entry."""
+        s = int(self.pos_words.shape[1])
+        n = min(query.num_subfingerprints, s)
+        qp = np.zeros((s, query.pairs), np.uint8)
+        qn = np.zeros((s, query.pairs), np.uint8)
+        qp[:n] = query.pos[:n]
+        qn[:n] = query.neg[:n]
+        scores = match_one_vs_many_packed(
+            pack_bits_device(jnp.asarray(qp)), pack_bits_device(jnp.asarray(qn)),
+            jnp.int32(n), self.pos_words, self.neg_words, self.counts,
+            self.pairs, comparison_range, self.config.subfingerprint_length)
+        return np.asarray(scores)
+
+    def identify(self, query: Fingerprint, comparison_range: int = 0
+                 ) -> tuple[int, float]:
+        """(best entry index, score)."""
+        scores = self.match(query, comparison_range)
+        best = int(np.argmax(scores))
+        return best, float(scores[best])
+
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, version=np.int32(serialize.FORMAT_VERSION),
+            pos=np.asarray(self.pos_words), neg=np.asarray(self.neg_words),
+            counts=np.asarray(self.counts), pairs=np.int32(self.pairs),
+            subfingerprint_length=np.int32(self.config.subfingerprint_length),
+            params_hash=np.bytes_(
+                serialize.config_params_hash(self.config).encode()))
+
+    @classmethod
+    def load(cls, path: str, config: FingerprintConfig | None = None
+             ) -> "FingerprintLibrary":
+        with np.load(path) as z:
+            if config is not None:
+                stored = bytes(z["params_hash"]).decode()
+                if stored != serialize.config_params_hash(config):
+                    raise ValueError("library parameter hash mismatch")
+            return cls(z["pos"], z["neg"], z["counts"], int(z["pairs"]), config)

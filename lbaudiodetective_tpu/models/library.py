@@ -57,19 +57,46 @@ class FingerprintLibrary:
 
     # -- matching -------------------------------------------------------------
 
-    def match(self, query: Fingerprint, comparison_range: int = 0) -> np.ndarray:
-        """``[L]`` match scores of a query against every entry."""
+    def match(self, query: Fingerprint, comparison_range: int = 0,
+              chunk: int = 65536) -> np.ndarray:
+        """``[L]`` match scores of a query against every entry.
+
+        Entries are processed in ``chunk``-sized blocks so the transient
+        [chunk, S, Sq] hit tensor stays bounded — a 1M-track library (2.1 GB
+        packed) searches on a single chip.
+        """
         s = int(self.pos_words.shape[1])
         n = min(query.num_subfingerprints, s)
         qp = np.zeros((s, query.pairs), np.uint8)
         qn = np.zeros((s, query.pairs), np.uint8)
         qp[:n] = query.pos[:n]
         qn[:n] = query.neg[:n]
-        scores = match_one_vs_many_packed(
-            pack_bits_device(jnp.asarray(qp)), pack_bits_device(jnp.asarray(qn)),
-            jnp.int32(n), self.pos_words, self.neg_words, self.counts,
-            self.pairs, comparison_range, self.config.subfingerprint_length)
-        return np.asarray(scores)
+        qpw = pack_bits_device(jnp.asarray(qp))
+        qnw = pack_bits_device(jnp.asarray(qn))
+        l = len(self)
+        if l <= chunk:
+            scores = match_one_vs_many_packed(
+                qpw, qnw, jnp.int32(n), self.pos_words, self.neg_words,
+                self.counts, self.pairs, comparison_range,
+                self.config.subfingerprint_length)
+            return np.asarray(scores)
+        out = np.empty(l, np.float32)
+        # Pad the final partial block so every dispatch shares one compile.
+        for start in range(0, l, chunk):
+            end = min(start + chunk, l)
+            if end - start == chunk:
+                lp, ln, cnt = (self.pos_words[start:end],
+                               self.neg_words[start:end], self.counts[start:end])
+            else:
+                pad = chunk - (end - start)
+                lp = jnp.pad(self.pos_words[start:end], ((0, pad), (0, 0), (0, 0)))
+                ln = jnp.pad(self.neg_words[start:end], ((0, pad), (0, 0), (0, 0)))
+                cnt = jnp.pad(self.counts[start:end], (0, pad))
+            scores = match_one_vs_many_packed(
+                qpw, qnw, jnp.int32(n), lp, ln, cnt, self.pairs,
+                comparison_range, self.config.subfingerprint_length)
+            out[start:end] = np.asarray(scores)[: end - start]
+        return out
 
     def identify(self, query: Fingerprint, comparison_range: int = 0
                  ) -> tuple[int, float]:

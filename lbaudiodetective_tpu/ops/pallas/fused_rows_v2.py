@@ -209,7 +209,11 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     hop = int(config.hop_in_processing_samples)
     if hop <= 0 or _LANE % hop:
         raise ValueError("v2 kernel requires the hop to divide 128")
-    if n_rows % rpf or window % _LANE or rpf % (_LANE // hop):
+    if window != _A * _LANE:
+        # The static re-tiling assumes window = 16 * 128 exactly (stage-2
+        # contraction width == lane width); other windows use conv/xla paths.
+        raise ValueError("v2 kernel requires window_size == 2048")
+    if n_rows % rpf or rpf % (_LANE // hop):
         raise ValueError("unsupported geometry for the v2 kernel")
     n_tiles = n_rows // rpf
     batch = audio.shape[0]

@@ -25,6 +25,9 @@ _EXPORTS = {
     "FingerprintConfig": "lbaudiodetective_tpu.config",
     "Fingerprint": "lbaudiodetective_tpu.models.fingerprint",
     "AudioDetective": "lbaudiodetective_tpu.models.detective",
+    "FingerprintLibrary": "lbaudiodetective_tpu.models.library",
+    "StreamingDetective": "lbaudiodetective_tpu.streaming.runtime",
+    "StreamingExtractor": "lbaudiodetective_tpu.streaming.runtime",
     "extract_fingerprint": "lbaudiodetective_tpu.ops.extract",
     "match_fingerprints": "lbaudiodetective_tpu.ops.match",
 }

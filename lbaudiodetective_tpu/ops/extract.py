@@ -71,8 +71,9 @@ def _rows_impl_auto(config: FingerprintConfig) -> str:
         hop = int(config.hop_in_processing_samples)
         if (on_accel and hop > 0 and 128 % hop == 0
                 and config.window_size == 2048
-                and config.rows_per_frame % (128 // hop) == 0):
-            return "fused_v2"
+                and config.rows_per_frame % (128 // hop) == 0
+                and (config.rows_per_frame * hop) % 128 == 0):
+            return "fused_v3"
         return "conv"
     return "fused" if on_accel else "xla"
 
@@ -102,11 +103,13 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
         batched = audio if audio.ndim == 2 else audio[None]
         rows = spectral.conv_band_rows(batched, config, n_rows)
         rows = rows if audio.ndim == 2 else rows[0]
-    elif impl == "fused_v2" and audio.ndim in (1, 2):
-        from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v2
+    elif impl in ("fused_v2", "fused_v3") and audio.ndim in (1, 2):
+        from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import (
+            fused_band_rows_v2, fused_band_rows_v3)
 
+        fn = fused_band_rows_v3 if impl == "fused_v3" else fused_band_rows_v2
         batched = audio if audio.ndim == 2 else audio[None]
-        rows = fused_band_rows_v2(batched, config, n_rows, fuse_haar=True)
+        rows = fn(batched, config, n_rows, fuse_haar=True)
         rows = rows if audio.ndim == 2 else rows[0]
         rows_are_coeffs = True
     elif impl == "fused" and audio.ndim in (1, 2):

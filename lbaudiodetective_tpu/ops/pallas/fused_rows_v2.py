@@ -277,3 +277,163 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     )(jnp.asarray(s0), jnp.asarray(base_row), audio2d,
       jnp.asarray(c16), jnp.asarray(s16), jnp.asarray(t2a), jnp.asarray(t2b),
       jnp.asarray(proj_perm), jnp.asarray(perm), jnp.asarray(h_cols_t))
+
+
+# --------------------------------------------------------------------------- #
+# v3: BlockSpec-pipelined variant (no manual DMA)
+# --------------------------------------------------------------------------- #
+# Empirical bisect (scripts/bisect_v2_cost.py): the manual DMA + grid
+# machinery dominated v2 (4.4 of 7.3 ms per 8-clip batch).  With an integer
+# hop the tile starts are always 128-aligned (tile t begins at sample
+# rpf*hop*t, a multiple of 128), so the audio a grid step needs is a pair of
+# REGULAR overlapping blocks — expressible as two BlockSpec inputs with
+# shifted index maps, which Mosaic double-buffers automatically behind the
+# previous step's compute.
+
+
+def _rows_kernel_v3(blk0_ref, blk1_ref,
+                    c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
+                    perm_ref, hcols_ref,
+                    out_ref,
+                    *, span_rows: int, window: int, rows: int, hop: int,
+                    adv_rows: int, inv_div: float, k_max: int, precision,
+                    fuse_haar: bool, bf16x3: bool, tps: int):
+    hi = precision
+    full = jnp.concatenate([blk0_ref[0, 0], blk1_ref[0, 0]], axis=0)  # [2u, 128]
+    qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
+    dn = (((0,), (0,)), ((), ()))
+
+    p_res, p_ims = [], []
+    for k in range(tps):
+        bufr = full[k * adv_rows:k * adv_rows + span_rows, :]
+        stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])
+        p_res.append(jax.lax.dot_general(
+            c16_re_ref[:], stack, dn, precision=hi,
+            preferred_element_type=jnp.float32))
+        p_ims.append(jax.lax.dot_general(
+            c16_im_ref[:], stack, dn, precision=hi,
+            preferred_element_type=jnp.float32))
+
+    vper = _LANE // hop
+    wper = rows // vper
+    half = 64
+    g_lane = jax.lax.broadcasted_iota(jnp.int32, (wper, _LANE), 1)
+
+    def build_g(p2):
+        pieces = []
+        for v in range(vper):
+            cut = hop * v
+            if cut == 0:
+                pieces.append(p2[0:wper, :])
+            else:
+                rolled = pltpu.roll(p2, _LANE - cut, 1)
+                pieces.append(jnp.where(g_lane < _LANE - cut,
+                                        rolled[0:wper, :], rolled[1:wper + 1, :]))
+        return jnp.concatenate(pieces, axis=0)
+
+    def stage2_dot(g, t_ref, r):
+        if not bf16x3:
+            return jnp.dot(g, t_ref[r], precision=hi,
+                           preferred_element_type=jnp.float32)
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(g_hi, t_ref[0, r], preferred_element_type=jnp.float32)
+                + jnp.dot(g_hi, t_ref[1, r], preferred_element_type=jnp.float32)
+                + jnp.dot(g_lo, t_ref[0, r], preferred_element_type=jnp.float32))
+
+    rows_acc = jnp.zeros((tps * rows, out_ref.shape[-1]), jnp.float32)
+    for r in range(_A):
+        g_re = jnp.concatenate([build_g(p_res[k][r]) for k in range(tps)], axis=0)
+        g_im = jnp.concatenate([build_g(p_ims[k][r]) for k in range(tps)], axis=0)
+        x = stage2_dot(g_re, t2a_ref, r) + stage2_dot(g_im, t2b_ref, r)
+        x = jnp.where(x > 0.0, x * inv_div, x)
+        v = x[:, :half] ** 2 + x[:, half:] ** 2
+        v = jnp.where(jnp.isfinite(v), v, 0.0)
+        rows_acc = rows_acc + jnp.dot(v, proj_ref[r], precision=hi,
+                                      preferred_element_type=jnp.float32)
+
+    out = jnp.dot(perm_ref[:], rows_acc, precision=hi,
+                  preferred_element_type=jnp.float32)
+    if fuse_haar:
+        out = jnp.dot(out, hcols_ref[:], precision=hi,
+                      preferred_element_type=jnp.float32)
+    out_ref[0] = out
+
+
+@partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar"))
+def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
+                       n_rows: int, interpret: bool = False,
+                       fuse_haar: bool = False) -> jnp.ndarray:
+    """BlockSpec-pipelined fused rows: ``[B, T] -> [B, n_rows, bands]``.
+
+    Same math as v2; audio arrives as two shifted regular block inputs per
+    grid step instead of manual DMA (only valid because integer-hop tile
+    starts are always 128-aligned)."""
+    rpf = config.rows_per_frame
+    window = config.window_size
+    if not config.has_integer_hop:
+        raise ValueError("v3 kernel requires an integer hop")
+    hop = int(config.hop_in_processing_samples)
+    if hop <= 0 or _LANE % hop:
+        raise ValueError("v3 kernel requires the hop to divide 128")
+    if window != _A * _LANE:
+        raise ValueError("v3 kernel requires window_size == 2048")
+    if n_rows % rpf or rpf % (_LANE // hop) or (rpf * hop) % _LANE:
+        raise ValueError("unsupported geometry for the v3 kernel")
+    n_tiles = n_rows // rpf
+    batch = audio.shape[0]
+
+    c16, s16, t2a, t2b, proj_perm, k_max, perm, h_cols_t = _v2_constants(
+        config, fuse_haar)
+    bands = config.pitch_step_count
+    bf16x3 = (config.matmul_precision == "high") and not interpret
+    if bf16x3:
+        t2a = np.stack(_split_bf16(t2a))
+        t2b = np.stack(_split_bf16(t2b))
+
+    tps = 4 if n_tiles % 4 == 0 else (2 if n_tiles % 2 == 0 else 1)
+    perm_blk = np.zeros((tps * rpf, tps * rpf), np.float32)
+    for k in range(tps):
+        perm_blk[k * rpf:(k + 1) * rpf, k * rpf:(k + 1) * rpf] = perm
+    n_steps = n_tiles // tps
+
+    adv_rows = (rpf * hop) // _LANE                     # rows per tile advance
+    span_rows = -(-(hop * (rpf - 1) + window) // _LANE) + 1
+    u_rows = adv_rows * tps                             # block height (rows)
+    n_blocks_needed = n_steps + 2                       # tt + k for k in {0,1}
+    t_pad_rows = n_blocks_needed * u_rows
+    need_span = (tps - 1) * adv_rows + span_rows
+    if need_span > 2 * u_rows:
+        raise ValueError("v3 block geometry: span exceeds two blocks")
+    t_pad = max(t_pad_rows * _LANE, audio.shape[1])
+    t_pad += (-t_pad) % (u_rows * _LANE)
+    if t_pad != audio.shape[1]:
+        audio = jnp.pad(audio, ((0, 0), (0, t_pad - audio.shape[1])))
+    audio3d = audio.reshape(batch, t_pad // (u_rows * _LANE), u_rows, _LANE)
+
+    grid_spec = pl.GridSpec(
+        grid=(batch, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, 1, u_rows, _LANE), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, u_rows, _LANE), lambda b, t: (b, t + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((1, tps * rpf, bands), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = partial(_rows_kernel_v3, span_rows=span_rows, window=window,
+                     rows=rpf, hop=hop, adv_rows=adv_rows,
+                     inv_div=1.0 / config.spectrum_scale_divisor,
+                     k_max=k_max, precision=_pallas_precision(config.precision),
+                     fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, n_rows, bands), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(audio3d, audio3d, jnp.asarray(c16), jnp.asarray(s16), jnp.asarray(t2a),
+      jnp.asarray(t2b), jnp.asarray(proj_perm), jnp.asarray(perm_blk),
+      jnp.asarray(h_cols_t))

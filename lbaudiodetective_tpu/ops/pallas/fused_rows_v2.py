@@ -291,15 +291,15 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
 # previous step's compute.
 
 
-def _rows_kernel_v3(blk0_ref, blk1_ref,
-                    c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
-                    perm_ref, hcols_ref,
-                    out_ref,
-                    *, span_rows: int, window: int, rows: int, hop: int,
+def _rows_kernel_v3(*refs,
+                    span_rows: int, window: int, rows: int, hop: int,
                     adv_rows: int, inv_div: float, k_max: int, precision,
-                    fuse_haar: bool, bf16x3: bool, tps: int):
+                    fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int):
+    blk_refs = refs[:n_blk]
+    (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
+     perm_ref, hcols_ref, out_ref) = refs[n_blk:]
     hi = precision
-    full = jnp.concatenate([blk0_ref[0, 0], blk1_ref[0, 0]], axis=0)  # [2u, 128]
+    full = jnp.concatenate([b[0, 0] for b in blk_refs], axis=0)  # [K*u, 128]
     qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
     dn = (((0,), (0,)), ((), ()))
 
@@ -400,25 +400,30 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     adv_rows = (rpf * hop) // _LANE                     # rows per tile advance
     span_rows = -(-(hop * (rpf - 1) + window) // _LANE) + 1
     u_rows = adv_rows * tps                             # block height (rows)
-    n_blocks_needed = n_steps + 2                       # tt + k for k in {0,1}
-    t_pad_rows = n_blocks_needed * u_rows
     need_span = (tps - 1) * adv_rows + span_rows
-    if need_span > 2 * u_rows:
-        raise ValueError("v3 block geometry: span exceeds two blocks")
+    n_blk = -(-need_span // u_rows) + (1 if need_span % u_rows else 0)
+    n_blk = max(2, -(-need_span // u_rows))
+    # Block k of step tt covers rows [(tt+k)*u, (tt+k+1)*u); together they
+    # span >= need_span rows from the step base.
+    if n_blk * u_rows < need_span:
+        n_blk += 1
+    n_blocks_needed = n_steps + n_blk
+    t_pad_rows = n_blocks_needed * u_rows
     t_pad = max(t_pad_rows * _LANE, audio.shape[1])
     t_pad += (-t_pad) % (u_rows * _LANE)
     if t_pad != audio.shape[1]:
         audio = jnp.pad(audio, ((0, 0), (0, t_pad - audio.shape[1])))
     audio3d = audio.reshape(batch, t_pad // (u_rows * _LANE), u_rows, _LANE)
 
+    def blk_spec(k):
+        return pl.BlockSpec((1, 1, u_rows, _LANE),
+                            lambda b, t, k=k: (b, t + k, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     grid_spec = pl.GridSpec(
         grid=(batch, n_steps),
-        in_specs=[
-            pl.BlockSpec((1, 1, u_rows, _LANE), lambda b, t: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, u_rows, _LANE), lambda b, t: (b, t + 1, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        in_specs=[blk_spec(k) for k in range(n_blk)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec((1, tps * rpf, bands), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
     )
@@ -426,7 +431,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      rows=rpf, hop=hop, adv_rows=adv_rows,
                      inv_div=1.0 / config.spectrum_scale_divisor,
                      k_max=k_max, precision=_pallas_precision(config.precision),
-                     fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps)
+                     fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -434,6 +439,6 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(audio3d, audio3d, jnp.asarray(c16), jnp.asarray(s16), jnp.asarray(t2a),
-      jnp.asarray(t2b), jnp.asarray(proj_perm), jnp.asarray(perm_blk),
-      jnp.asarray(h_cols_t))
+    )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
+      jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
+      jnp.asarray(perm_blk), jnp.asarray(h_cols_t))

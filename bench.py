@@ -72,7 +72,10 @@ def bench_extract(config, batch: int, clip_seconds: float = 10.0, iters: int = 3
     return batch / dt, dt
 
 
-def bench_match(config, library_size: int, s_max: int = 64, iters: int = 5):
+def bench_match(config, library_size: int, s_max: int = 64, iters: int = 10):
+    """Pinned standard config: query = s_max//2 valid subfingerprints vs a
+    library of full-length (s_max) entries — a ~5 s query against ~10 s tracks.
+    """
     from lbaudiodetective_tpu.ops.match import match_one_vs_many_padded
 
     rng = np.random.default_rng(1)
@@ -98,6 +101,36 @@ def bench_match(config, library_size: int, s_max: int = 64, iters: int = 5):
     # Subfingerprint-level comparisons: offsets * n2 per pair.
     sub_compares = library_size * (s_max // 2 + 1) * (s_max // 2) / dt
     return pair_compares, sub_compares, dt
+
+
+def bench_match_packed(config, library_size: int, s_max: int = 64,
+                       iters: int = 10):
+    """Same pinned matching workload through the packed-bit popcount matcher
+    (the HBM-resident path used for big libraries)."""
+    from lbaudiodetective_tpu.ops.match_packed import (match_one_vs_many_packed,
+                                                       pack_bits_device)
+
+    rng = np.random.default_rng(1)
+    pairs = config.num_wavelet_pairs
+    cls = rng.choice(3, size=(library_size, s_max, pairs))
+    lib_pos_w = pack_bits_device(jnp.asarray((cls == 1).astype(np.uint8)))
+    lib_neg_w = pack_bits_device(jnp.asarray((cls == 2).astype(np.uint8)))
+    n_lib = jnp.full((library_size,), s_max, jnp.int32)
+    qcls = rng.choice(3, size=(s_max, pairs))
+    q_pos_w = pack_bits_device(jnp.asarray((qcls == 1).astype(np.uint8)))
+    q_neg_w = pack_bits_device(jnp.asarray((qcls == 2).astype(np.uint8)))
+    nq = jnp.int32(s_max // 2)
+
+    @jax.jit
+    def step(carry):
+        scores = match_one_vs_many_packed(
+            q_pos_w ^ (carry * 0.0).astype(jnp.uint32), q_neg_w, nq,
+            lib_pos_w, lib_neg_w, n_lib, pairs,
+            0, config.subfingerprint_length)
+        return scores, carry + scores[0]
+
+    dt = _timed(step, iters)
+    return library_size / dt, dt
 
 
 def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
@@ -128,7 +161,7 @@ def main():
     parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
     proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected
 
-    batch = 8 if quick else 32
+    batch = 8 if quick else 64   # 64 amortises dispatch ~10% better than 32
     clips_per_sec, dt = bench_extract(parity_cfg, batch=batch)
     details["extract_parity_clips_per_sec"] = clips_per_sec
     details["extract_parity_batch"] = batch
@@ -145,6 +178,12 @@ def main():
     details["match_pair_compares_per_sec"] = pair_cps
     details["match_subfingerprint_compares_per_sec"] = sub_cps
     details["match_library_size"] = lib
+
+    try:
+        packed_cps, _ = bench_match_packed(parity_cfg, library_size=lib)
+        details["match_packed_pair_compares_per_sec"] = packed_cps
+    except Exception as e:
+        details["match_packed_error"] = str(e)[:200]
 
     try:
         n_streams = 64 if quick else 256

@@ -182,7 +182,7 @@ def fused_band_rows(audio: jnp.ndarray, config: FingerprintConfig,
         num_scalar_prefetch=2,
         grid=(batch, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # audio stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # audio stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),         # c16_re
             pl.BlockSpec(memory_space=pltpu.VMEM),         # c16_im
             pl.BlockSpec(memory_space=pltpu.VMEM),         # t2_re

@@ -252,7 +252,7 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(batch, n_tiles // tps),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec((1, tps * rpf, bands),
                                lambda b, t, *_: (b, t, 0),
@@ -294,7 +294,8 @@ def fused_band_rows_v2(audio: jnp.ndarray, config: FingerprintConfig,
 def _rows_kernel_v3(*refs,
                     span_rows: int, window: int, rows: int, hop: int,
                     adv_rows: int, inv_div: float, k_max: int, precision,
-                    fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int):
+                    fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int,
+                    batched_rolls: bool = False, aux3: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
      perm_ref, hcols_ref, out_ref) = refs[n_blk:]
@@ -303,16 +304,34 @@ def _rows_kernel_v3(*refs,
     qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
     dn = (((0,), (0,)), ((), ()))
 
+    def split3(x):
+        xh = x.astype(jnp.bfloat16)
+        return xh, (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
     p_res, p_ims = [], []
     for k in range(tps):
         bufr = full[k * adv_rows:k * adv_rows + span_rows, :]
         stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])
-        p_res.append(jax.lax.dot_general(
-            c16_re_ref[:], stack, dn, precision=hi,
-            preferred_element_type=jnp.float32))
-        p_ims.append(jax.lax.dot_general(
-            c16_im_ref[:], stack, dn, precision=hi,
-            preferred_element_type=jnp.float32))
+        if aux3:
+            # 3-pass bf16 with pre-split (hi, lo) weight planes (~HIGH
+            # precision at half the passes of Mosaic HIGHEST).
+            sh, sl = split3(stack)
+
+            def dg(a, b):
+                return jax.lax.dot_general(
+                    a, b, dn, preferred_element_type=jnp.float32)
+
+            p_res.append(dg(c16_re_ref[0], sh) + dg(c16_re_ref[1], sh)
+                         + dg(c16_re_ref[0], sl))
+            p_ims.append(dg(c16_im_ref[0], sh) + dg(c16_im_ref[1], sh)
+                         + dg(c16_im_ref[0], sl))
+        else:
+            p_res.append(jax.lax.dot_general(
+                c16_re_ref[:], stack, dn, precision=hi,
+                preferred_element_type=jnp.float32))
+            p_ims.append(jax.lax.dot_general(
+                c16_im_ref[:], stack, dn, precision=hi,
+                preferred_element_type=jnp.float32))
 
     vper = _LANE // hop
     wper = rows // vper
@@ -331,6 +350,24 @@ def _rows_kernel_v3(*refs,
                                         rolled[0:wper, :], rolled[1:wper + 1, :]))
         return jnp.concatenate(pieces, axis=0)
 
+    # Batched variant (v4): roll/select once per v over the WHOLE per-tile
+    # [16r, qu, 128] tensor instead of once per (r, v) — 16x fewer shuffle ops
+    # for the same bytes; stage-2 then takes free major-axis slices.
+    g_lane3 = jax.lax.broadcasted_iota(jnp.int32, (_A, wper, _LANE), 2)
+
+    def build_g_all(p3):                                   # [16r, qu, 128]
+        pieces = []
+        for v in range(vper):
+            cut = hop * v
+            if cut == 0:
+                pieces.append(p3[:, 0:wper, :])
+            else:
+                rolled = pltpu.roll(p3, _LANE - cut, 2)
+                pieces.append(jnp.where(g_lane3 < _LANE - cut,
+                                        rolled[:, 0:wper, :],
+                                        rolled[:, 1:wper + 1, :]))
+        return jnp.concatenate(pieces, axis=1)             # [16r, rows, 128]
+
     def stage2_dot(g, t_ref, r):
         if not bf16x3:
             return jnp.dot(g, t_ref[r], precision=hi,
@@ -341,29 +378,66 @@ def _rows_kernel_v3(*refs,
                 + jnp.dot(g_hi, t_ref[1, r], preferred_element_type=jnp.float32)
                 + jnp.dot(g_lo, t_ref[0, r], preferred_element_type=jnp.float32))
 
+    if batched_rolls:
+        g_all_re = [build_g_all(p_res[k]) for k in range(tps)]
+        g_all_im = [build_g_all(p_ims[k]) for k in range(tps)]
+
     rows_acc = jnp.zeros((tps * rows, out_ref.shape[-1]), jnp.float32)
     for r in range(_A):
-        g_re = jnp.concatenate([build_g(p_res[k][r]) for k in range(tps)], axis=0)
-        g_im = jnp.concatenate([build_g(p_ims[k][r]) for k in range(tps)], axis=0)
+        if batched_rolls:
+            g_re = jnp.concatenate([g_all_re[k][r] for k in range(tps)], axis=0)
+            g_im = jnp.concatenate([g_all_im[k][r] for k in range(tps)], axis=0)
+        else:
+            g_re = jnp.concatenate([build_g(p_res[k][r]) for k in range(tps)], axis=0)
+            g_im = jnp.concatenate([build_g(p_ims[k][r]) for k in range(tps)], axis=0)
         x = stage2_dot(g_re, t2a_ref, r) + stage2_dot(g_im, t2b_ref, r)
         x = jnp.where(x > 0.0, x * inv_div, x)
         v = x[:, :half] ** 2 + x[:, half:] ** 2
         v = jnp.where(jnp.isfinite(v), v, 0.0)
-        rows_acc = rows_acc + jnp.dot(v, proj_ref[r], precision=hi,
-                                      preferred_element_type=jnp.float32)
+        if aux3:
+            vh, vl = split3(v)
+            contrib = (jnp.dot(vh, proj_ref[0, r], preferred_element_type=jnp.float32)
+                       + jnp.dot(vh, proj_ref[1, r], preferred_element_type=jnp.float32)
+                       + jnp.dot(vl, proj_ref[0, r], preferred_element_type=jnp.float32))
+        else:
+            contrib = jnp.dot(v, proj_ref[r], precision=hi,
+                              preferred_element_type=jnp.float32)
+        rows_acc = rows_acc + contrib
 
-    out = jnp.dot(perm_ref[:], rows_acc, precision=hi,
-                  preferred_element_type=jnp.float32)
+    # Un-permutation (x Haar row pass) applied per tile: the step-wide matrix
+    # is block-diagonal with tps identical [rows, rows] blocks, so per-tile
+    # matmuls do tps-x fewer MACs for identical results.
+    def unperm(acc_k):
+        if aux3:
+            ah, al = split3(acc_k)
+            return (jnp.dot(perm_ref[0], ah, preferred_element_type=jnp.float32)
+                    + jnp.dot(perm_ref[1], ah, preferred_element_type=jnp.float32)
+                    + jnp.dot(perm_ref[0], al, preferred_element_type=jnp.float32))
+        return jnp.dot(perm_ref[:], acc_k, precision=hi,
+                       preferred_element_type=jnp.float32)
+
+    out = jnp.concatenate(
+        [unperm(rows_acc[k * rows:(k + 1) * rows]) for k in range(tps)], axis=0)
     if fuse_haar:
-        out = jnp.dot(out, hcols_ref[:], precision=hi,
-                      preferred_element_type=jnp.float32)
+        if aux3:
+            oh, ol = split3(out)
+            out = (jnp.dot(oh, hcols_ref[0], preferred_element_type=jnp.float32)
+                   + jnp.dot(oh, hcols_ref[1], preferred_element_type=jnp.float32)
+                   + jnp.dot(ol, hcols_ref[0], preferred_element_type=jnp.float32))
+        else:
+            out = jnp.dot(out, hcols_ref[:], precision=hi,
+                          preferred_element_type=jnp.float32)
     out_ref[0] = out
 
 
-@partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar"))
+@partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar",
+                                   "batched_rolls", "aux_bf16x3", "tps_override"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
-                       fuse_haar: bool = False) -> jnp.ndarray:
+                       fuse_haar: bool = False,
+                       batched_rolls: bool = False,
+                       aux_bf16x3: bool | None = None,
+                       tps_override: int | None = None) -> jnp.ndarray:
     """BlockSpec-pipelined fused rows: ``[B, T] -> [B, n_rows, bands]``.
 
     Same math as v2; audio arrives as two shifted regular block inputs per
@@ -387,14 +461,29 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         config, fuse_haar)
     bands = config.pitch_step_count
     bf16x3 = (config.matmul_precision == "high") and not interpret
+    # Auxiliary matmuls (stage-1, projection, un-permutation, column Haar)
+    # also run 3-pass bf16 by default when stage-2 does: same ~HIGH precision
+    # at half the passes of the Mosaic HIGHEST fallback.
+    aux3 = bf16x3 if aux_bf16x3 is None else (aux_bf16x3 and not interpret)
     if bf16x3:
         t2a = np.stack(_split_bf16(t2a))
         t2b = np.stack(_split_bf16(t2b))
+    if aux3:
+        c16 = np.stack(_split_bf16(c16))
+        s16 = np.stack(_split_bf16(s16))
+        proj_perm = np.stack(_split_bf16(proj_perm))
+        perm = np.stack(_split_bf16(perm))
+        h_cols_t = np.stack(_split_bf16(h_cols_t))
 
-    tps = 4 if n_tiles % 4 == 0 else (2 if n_tiles % 2 == 0 else 1)
-    perm_blk = np.zeros((tps * rpf, tps * rpf), np.float32)
-    for k in range(tps):
-        perm_blk[k * rpf:(k + 1) * rpf, k * rpf:(k + 1) * rpf] = perm
+    if tps_override is not None:
+        if n_tiles % tps_override:
+            raise ValueError("tps_override must divide the tile count")
+        tps = tps_override
+    else:
+        # Tiles per grid step: the dominant cost is per-step pipeline
+        # machinery (see scripts/bisect_v3_cost.py 'floor' variant), so
+        # fatter steps win while VMEM allows; 8 beats 4 beats 16 measured.
+        tps = next(t for t in (8, 4, 2, 1) if n_tiles % t == 0)
     n_steps = n_tiles // tps
 
     adv_rows = (rpf * hop) // _LANE                     # rows per tile advance
@@ -431,7 +520,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      rows=rpf, hop=hop, adv_rows=adv_rows,
                      inv_div=1.0 / config.spectrum_scale_divisor,
                      k_max=k_max, precision=_pallas_precision(config.precision),
-                     fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk)
+                     fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk,
+                     batched_rolls=batched_rolls, aux3=aux3)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -441,4 +531,4 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
-      jnp.asarray(perm_blk), jnp.asarray(h_cols_t))
+      jnp.asarray(perm), jnp.asarray(h_cols_t))

@@ -528,7 +528,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         out_shape=jax.ShapeDtypeStruct((batch, n_rows, bands), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
       jnp.asarray(perm), jnp.asarray(h_cols_t))

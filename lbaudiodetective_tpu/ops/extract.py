@@ -141,9 +141,13 @@ def rows_for_subfingerprints(config: FingerprintConfig, n_sub: int) -> int:
     return n_sub * config.rows_per_frame
 
 
-def bucket_subfingerprints(n_sub: int, granularity: int = 16) -> int:
+def bucket_subfingerprints(n_sub: int, granularity: int = 8) -> int:
     """Round a subfingerprint count up to a bucket size so variable-length
-    clips share jit compilations (SURVEY §7: pad to bucket sizes)."""
+    clips share jit compilations (SURVEY §7: pad to bucket sizes).
+
+    Granularity 8 keeps the v3 kernel's preferred 8-tiles-per-step divisor
+    while halving the padding waste of short clips (a 10 s 'proc'-mode clip
+    is ~7 subfingerprints: bucket 8, not 16)."""
     if n_sub <= 0:
         return 0
     return ((n_sub + granularity - 1) // granularity) * granularity

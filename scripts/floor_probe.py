@@ -89,7 +89,33 @@ def run(variant, bands):
           f"{(time.perf_counter()-t0)/5*1e3:.2f} ms / {B} clips", flush=True)
 
 
-run("out", 32)
-run("blocks", 32)
-run("weights", 32)
-run("wide-out", 128)
+if "--packed" in sys.argv:
+    # packed-out: same bytes as bands=32 but full 128 lanes
+    # ([tps*32, 128] out block instead of [tps*128, 32]).
+    def kern_p(*refs):
+        refs[-1][0] = jnp.zeros((TPS * 32, LANE), jnp.float32) + 1.0
+    gs = pl.GridSpec(
+        grid=(B, N_STEPS), in_specs=[],
+        out_specs=pl.BlockSpec((1, TPS * 32, LANE), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM))
+    fp = pl.pallas_call(
+        kern_p, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((B, S * 32, LANE), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")))
+    @jax.jit
+    def stepp(c):
+        return c + fp()[0, 0, 0] * 0.0 + fp()[0, 0, 1]
+    c = stepp(jnp.float32(0)); float(np.asarray(c))
+    t0 = time.perf_counter()
+    c = jnp.float32(0)
+    for _ in range(5):
+        c = stepp(c)
+    float(np.asarray(c))
+    print(f"packed-out tps={TPS}: {(time.perf_counter()-t0)/5*1e3:.2f} ms / {B} clips")
+else:
+    run("out", 32)
+    run("blocks", 32)
+    run("weights", 32)
+    run("wide-out", 128)

@@ -161,13 +161,13 @@ def main():
     parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
     proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected
 
-    batch = 8 if quick else 64   # 64 amortises dispatch ~10% better than 32
+    batch = 8 if quick else 128  # larger batches amortise ~2.4 ms dispatch
     clips_per_sec, dt = bench_extract(parity_cfg, batch=batch)
     details["extract_parity_clips_per_sec"] = clips_per_sec
     details["extract_parity_batch"] = batch
     details["extract_parity_step_seconds"] = dt
 
-    batch_p = 32 if quick else 256
+    batch_p = 32 if quick else 512
     clips_proc, dt_p = bench_extract(proc_cfg, batch=batch_p)
     details["extract_proc_clips_per_sec"] = clips_proc
     details["extract_proc_batch"] = batch_p

@@ -134,8 +134,26 @@ def LBAudioDetectiveFingerprintEqualToFingerprint(fp1: Fingerprint, fp2: Fingerp
     return fp1 == fp2
 
 
+def stringFromFingerprint(fp: Fingerprint) -> str:
+    """Golden string serializer of the reference test harness
+    (LBAudioDetectiveTests.m:22-37): '0'/'1' digits per stored boolean,
+    subfingerprints joined by '+'."""
+    return fp.to_string()
+
+
 def LBAudioDetectiveFingerprintCompareToFingerprint(fp1: Fingerprint, fp2: Fingerprint,
                                                     comparison_range: int = 0) -> float:
+    """1:1 port of LBAudioDetectiveFingerprintCompareToFingerprint
+    (LBAudioDetectiveFingerprint.m:119-149).
+
+    Note: the reference applies the range-0 -> subfingerprint-length default
+    only in CompareAudioURLs (LBAudioDetective.m:443-445); the raw compare
+    with inRange=0 iterates zero booleans, so possibleHits stays 0 and every
+    subfingerprint similarity — hence the match — is 0.0
+    (Fingerprint.m:155,171-175).  Replicated here for parity.
+    """
+    if comparison_range == 0:
+        return 0.0
     return match_fingerprints((fp1.pos, fp1.neg), (fp2.pos, fp2.neg),
                               comparison_range, fp1.subfingerprint_length)
 

@@ -2,9 +2,13 @@
 
 Prefers the native C++ decoder (``lbaudiodetective_tpu/io/native``) when its
 shared library has been built; otherwise falls back to the pure-NumPy
-implementations in :mod:`lbaudiodetective_tpu.io.caf`.  Both produce identical
-samples (the native path is validated against the NumPy one in
-tests/test_native_decoder.py).
+implementations in :mod:`lbaudiodetective_tpu.io.caf`.  Decode (CAF parse +
+IMA4/LPCM unpack) is bit-exact across the two paths; the resample stage
+agrees to within 1-2 ulp (the C++ FIR accumulates in double, the NumPy
+einsum in float32 — validated at atol=2e-6 in tests/test_native_decoder.py).
+Fingerprint *bits* can therefore differ across environments in rare
+borderline coefficients; store libraries and queries with the same backend
+when bit identity matters (match scores are insensitive at corpus scale).
 """
 
 from __future__ import annotations

@@ -30,14 +30,26 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
         csize = min(csize, n - payload)  # tolerate truncation
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", raw[payload:payload + 16])
+            fmt_payload = raw[payload:payload + csize]
         elif cid == b"data":
             data = raw[payload:payload + csize]
         off = payload + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: treat as PCM/float
-        audio_format = 1 if bits in (16, 24, 32) else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The real format code is the first 2 bytes of the SubFormat GUID at
+        # offset 24 of the extended fmt chunk (after cbSize/validBits/mask).
+        # Bit depth alone cannot distinguish 32-bit int PCM from float32.
+        if len(fmt_payload) >= 26:
+            (audio_format,) = struct.unpack("<H", fmt_payload[24:26])
+        else:
+            raise NotImplementedError(
+                "WAVE_FORMAT_EXTENSIBLE fmt chunk too short to carry the "
+                "SubFormat GUID")
+        if audio_format not in (1, 3):
+            raise NotImplementedError(
+                f"unsupported WAVE_FORMAT_EXTENSIBLE SubFormat {audio_format}")
 
     if audio_format == 1:  # integer PCM
         if bits == 16:

@@ -79,6 +79,38 @@ class Fingerprint:
         return cls(np.ascontiguousarray(pos, np.uint8),
                    np.ascontiguousarray(neg, np.uint8), subfingerprint_length)
 
+    # -- golden string form ---------------------------------------------------
+
+    def to_string(self) -> str:
+        """Human-readable golden form: per subfingerprint the stored booleans
+        as a '0'/'1' digit string (interleaved Q1 layout), subfingerprints
+        joined by '+'.  Matches the reference tests' stringFromFingerprint
+        serializer (LBAudioDetectiveTests.m:22-37)."""
+        return "+".join(
+            "".join("1" if b else "0" for b in self.subfingerprint_booleans(i))
+            for i in range(self.num_subfingerprints))
+
+    @classmethod
+    def from_string(cls, s: str, subfingerprint_length: int | None = None) -> "Fingerprint":
+        """Inverse of :meth:`to_string` (the reference sketches only the
+        forward direction)."""
+        subs = s.split("+") if s else []
+        if not subs:
+            return cls(np.zeros((0, 0), np.uint8), np.zeros((0, 0), np.uint8),
+                       subfingerprint_length or 200)
+        length = len(subs[0])
+        if subfingerprint_length is None:
+            subfingerprint_length = length
+        if any(len(x) != length for x in subs):
+            raise ValueError("inconsistent subfingerprint lengths")
+        bits = np.array([[c == "1" for c in x] for x in subs], dtype=np.uint8)
+        pairs = (length + 1) // 2
+        pos = np.zeros((len(subs), pairs), np.uint8)
+        neg = np.zeros((len(subs), pairs), np.uint8)
+        pos[:, : (length + 1) // 2] = bits[:, 0::2]
+        neg[:, : length // 2] = bits[:, 1::2]
+        return cls(pos, neg, subfingerprint_length)
+
     def compare(self, other: "Fingerprint", comparison_range: int = 0) -> float:
         """Offset-sliding match score in [0, 1]
         (LBAudioDetectiveFingerprintCompareToFingerprint)."""

@@ -67,6 +67,10 @@ def _rows_impl_auto(config: FingerprintConfig) -> str:
         on_accel = jax.default_backend() != "cpu"
     except Exception:
         on_accel = False
+    from lbaudiodetective_tpu.ops.spectral import bands_in_interior
+
+    if not bands_in_interior(config):
+        return "xla"        # bin 0 / negative band edges: packed-rfft only
     if config.has_integer_hop:
         hop = int(config.hop_in_processing_samples)
         if (on_accel and hop > 0 and 128 % hop == 0

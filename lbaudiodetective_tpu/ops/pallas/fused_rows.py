@@ -51,6 +51,12 @@ def _pallas_precision(precision):
 def _kernel_constants(config: FingerprintConfig):
     """Stage matrices with the band projection pre-permuted into (residue,
     slot) order so the kernel never reorders bins."""
+    from lbaudiodetective_tpu.ops.spectral import bands_in_interior
+
+    if not bands_in_interior(config):
+        raise ValueError(
+            "fused rows kernels require band bins strictly inside "
+            "(0, window/2); use the xla rows path for this config")
     n = config.window_size
     b_len = n // _A
     ranges = config.band_bin_ranges

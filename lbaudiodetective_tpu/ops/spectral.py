@@ -23,17 +23,37 @@ import numpy as np
 from lbaudiodetective_tpu.config import FingerprintConfig
 
 
+def bands_in_interior(config: FingerprintConfig) -> bool:
+    """True when every consumed FFT bin lies strictly inside (0, window/2).
+
+    Custom configs with a low ``min_frequency`` can push the Q6 band ranges
+    to bin 0 (the vDSP packed DC/Nyquist slot) or even -1 (the ``int(x-1.0)``
+    truncation); only the full packed-rfft path handles those correctly, so
+    the matmul-DFT / conv / Pallas specialisations must be gated on this.
+    """
+    ranges = config.band_bin_ranges
+    n_over_2 = config.window_size // 2
+    return bool(ranges[:, 0].min() >= 1 and ranges[:, 1].max() <= n_over_2)
+
+
 @lru_cache(maxsize=8)
 def band_projection_matrix(config: FingerprintConfig) -> np.ndarray:
     """``[window/2, pitch_step_count]`` float32 band-sum matrix with the
-    1/width normalisation folded in (LBAudioDetective.m:379-404)."""
+    1/width normalisation folded in (LBAudioDetective.m:379-404).
+
+    Band edges are clamped to [0, window/2): the reference would read out of
+    bounds for a -1 edge (undefined behaviour, Q6) — spec-corrected to clamp
+    instead of wrapping via Python negative indexing.
+    """
     n_over_2 = config.window_size // 2
     mat = np.zeros((n_over_2, config.pitch_step_count), dtype=np.float32)
     ranges = config.band_bin_ranges
     widths = config.band_widths
     for i in range(config.pitch_step_count):
-        lo, hi = int(ranges[i, 0]), int(ranges[i, 1])
-        mat[lo:hi, i] = np.float32(1.0) / widths[i]
+        lo = min(max(int(ranges[i, 0]), 0), n_over_2)
+        hi = min(max(int(ranges[i, 1]), 0), n_over_2)
+        if hi > lo and widths[i] > 0:   # zero-width band -> energy 0 (0/0 UB)
+            mat[lo:hi, i] = np.float32(1.0) / widths[i]
     return mat
 
 
@@ -133,6 +153,11 @@ def conv_band_rows(audio: jnp.ndarray, config: FingerprintConfig,
     """
     if not config.has_integer_hop:
         raise ValueError("conv_band_rows requires an integer hop")
+    if not bands_in_interior(config):
+        raise ValueError(
+            "conv_band_rows requires band bins strictly inside (0, window/2); "
+            "use the xla rows path for this config (bin 0 is the vDSP packed "
+            "DC/Nyquist slot)")
     hop = int(config.hop_in_processing_samples)
     w1_np, w2_np, proj_perm, k_max = _conv_constants(config)
     hi = config.precision

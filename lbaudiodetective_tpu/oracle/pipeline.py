@@ -115,8 +115,13 @@ def spectrogram_rows(audio: DecodedAudio, config: FingerprintConfig) -> np.ndarr
     ranges = config.band_bin_ranges
     widths = config.band_widths
     for i in range(config.pitch_step_count):
-        lo, hi = int(ranges[i, 0]), int(ranges[i, 1])
-        rows[:, i] = v[:, lo:hi].sum(axis=1, dtype=np.float32) / widths[i]
+        # Clamp to [0, n/2): the reference reads out of bounds for a -1 band
+        # edge (Q6 int(x-1.0) truncation at very low min_frequency) -- UB,
+        # spec-corrected identically in ops.spectral.band_projection_matrix.
+        lo = min(max(int(ranges[i, 0]), 0), n // 2)
+        hi = min(max(int(ranges[i, 1]), 0), n // 2)
+        if hi > lo and widths[i] > 0:   # zero-width band -> energy 0 (0/0 UB)
+            rows[:, i] = v[:, lo:hi].sum(axis=1, dtype=np.float32) / widths[i]
     return rows
 
 

@@ -84,8 +84,17 @@ def decoded_corpus():
     """name -> DecodedAudio, computed lazily and disk-cached."""
     from lbaudiodetective_tpu.io.decode import DecodedAudio, decode_audio_file
 
+    import hashlib
+
+    io_dir = REPO_ROOT / "lbaudiodetective_tpu" / "io"
+    h = hashlib.sha256()
+    for f in sorted(list(io_dir.glob("*.py")) + list(io_dir.glob("native/*.cpp"))):
+        h.update(f.name.encode())
+        h.update(f.read_bytes())
+    io_key = h.hexdigest()[:8]
+
     def load(name):
-        cache_file = CACHE / f"decoded_{name}.npz"
+        cache_file = CACHE / f"decoded_{io_key}_{name}.npz"
         if cache_file.exists():
             z = np.load(cache_file)
             return DecodedAudio(samples=z["samples"],
@@ -100,12 +109,36 @@ def decoded_corpus():
     return _LazyDict(load)
 
 
+def _pipeline_code_hash() -> str:
+    """Hash of every source file that can change fingerprint bits.
+
+    Keying fixture caches on code content (not just config params) guarantees
+    that mutating the extraction pipeline invalidates the committed corpus
+    fingerprints — a regression recomputes live and fails loudly instead of
+    staying silently green against stale fixtures.
+    """
+    import hashlib
+
+    pkg = REPO_ROOT / "lbaudiodetective_tpu"
+    files = sorted(
+        [pkg / "config.py"]
+        + list(pkg.glob("ops/**/*.py"))
+        + list(pkg.glob("oracle/*.py"))
+        + list(pkg.glob("io/*.py"))
+        + list(pkg.glob("io/native/*.cpp")))
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.name.encode())
+        h.update(f.read_bytes())
+    return h.hexdigest()[:8]
+
+
 def config_cache_key():
-    """Short parameter hash so cached fingerprints invalidate on spec change."""
+    """Cache key: config-params hash + pipeline code-content hash."""
     from lbaudiodetective_tpu.config import FingerprintConfig
     from lbaudiodetective_tpu.utils.serialize import config_params_hash
 
-    return config_params_hash(FingerprintConfig())[:8]
+    return f"{config_params_hash(FingerprintConfig())[:8]}-{_pipeline_code_hash()}"
 
 
 @pytest.fixture(scope="session")

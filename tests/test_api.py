@@ -82,8 +82,17 @@ def test_compat_names_roundtrip():
     assert compat.LBAudioDetectiveFingerprintGetNumberOfSubfingerprints(fp) > 0
     assert compat.LBAudioDetectiveFingerprintGetSubfingerprintLength(fp) == 200
     fp2 = compat.LBAudioDetectiveFingerprintCopy(fp)
-    score = compat.LBAudioDetectiveFingerprintCompareToFingerprint(fp, fp2, 0)
+    score = compat.LBAudioDetectiveFingerprintCompareToFingerprint(fp, fp2, 200)
     np.testing.assert_allclose(score, 1.0, atol=1e-6)
+    # Raw compare with inRange=0 iterates zero booleans in the reference
+    # (Fingerprint.m:155,171-175) -> 0.0; only CompareAudioURLs defaults it.
+    assert compat.LBAudioDetectiveFingerprintCompareToFingerprint(fp, fp2, 0) == 0.0
+    # Golden string serializer (LBAudioDetectiveTests.m:22-37) round-trips.
+    s = compat.stringFromFingerprint(fp)
+    assert set(s) <= {"0", "1", "+"}
+    assert s.split("+")[0] != "0" * 200          # non-degenerate bits
+    from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+    assert Fingerprint.from_string(s) == fp
     match = compat.LBAudioDetectiveCompareAudioURLs(
         d, corpus_path("Pigeon"), corpus_path("Pigeon_eql"), 0)
     assert 0.9 < match <= 1.0

@@ -50,3 +50,29 @@ def test_variant_jax_matches_oracle(cfg):
                              0, cfg.subfingerprint_length)
     s_o = oracle_match_fingerprints(op_a, op_b, 0, cfg.subfingerprint_length)
     assert abs(s_j - s_o) < 0.02
+
+
+def test_low_min_frequency_routes_to_xla():
+    """Band edges at/below bin 0 (vDSP packed DC slot, or the Q6 int(x-1.0)
+    truncation's -1) must gate the matmul-DFT/conv/Pallas specialisations off
+    and raise in the paths that cannot handle them (ADVICE r1)."""
+    from lbaudiodetective_tpu.ops.extract import _rows_impl_auto
+    from lbaudiodetective_tpu.ops.spectral import (
+        bands_in_interior, conv_band_rows)
+
+    cfg = FingerprintConfig(min_frequency=2.0)     # lo bin = -1
+    assert not bands_in_interior(cfg)
+    assert _rows_impl_auto(cfg) == "xla"
+    import jax.numpy as jnp
+    with pytest.raises(ValueError):
+        conv_band_rows(jnp.zeros((1, 4096), jnp.float32), cfg, 2)
+    from lbaudiodetective_tpu.ops.pallas.fused_rows import _kernel_constants
+    with pytest.raises(ValueError):
+        _kernel_constants(cfg)
+    # The xla path still runs end-to-end and matches the oracle.
+    a = _clip(cfg, seconds=2.0, seed=7)
+    jp = extract_fingerprint(a, cfg)
+    op = oracle_fingerprint(a, cfg)
+    assert jp[2] == op[0].shape[0] > 0
+    agree = ((jp[0][:jp[2]] == op[0]).mean() + (jp[1][:jp[2]] == op[1]).mean()) / 2
+    assert agree >= 0.995, f"bit agreement {agree:.4f}"

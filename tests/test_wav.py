@@ -34,6 +34,46 @@ def test_wav_float32(tmp_path):
     np.testing.assert_array_equal(y, x)
 
 
+def _extensible_wav(tmp_path, name, subformat_code, bits, pcm):
+    import struct
+
+    # WAVE_FORMAT_EXTENSIBLE: 16-byte base fmt + cbSize(22) + validBits +
+    # channelMask + 16-byte SubFormat GUID (first 2 bytes = format code).
+    guid = struct.pack("<H", subformat_code) + b"\x00\x00" + bytes(
+        [0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71])
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 44100, 44100 * (bits // 8),
+                      bits // 8, bits) + struct.pack("<HHI", 22, bits, 4) + guid
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 24 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    p = tmp_path / name
+    p.write_bytes(hdr)
+    return str(p)
+
+
+def test_wav_extensible_float32_guid(tmp_path):
+    """An EXTENSIBLE 32-bit IEEE-float WAV must decode as float (SubFormat
+    GUID code 3), not be guessed as int32 PCM from the bit depth."""
+    x = np.linspace(-0.5, 0.5, 1000).astype(np.float32)
+    p = _extensible_wav(tmp_path, "ext_f32.wav", 3, 32, x.astype("<f4").tobytes())
+    y, sr = read_wav(p)
+    np.testing.assert_array_equal(y, x)
+
+
+def test_wav_extensible_int32_guid(tmp_path):
+    x = np.linspace(-0.5, 0.5, 1000)
+    ints = np.round(x * 2147483647).astype("<i4")
+    p = _extensible_wav(tmp_path, "ext_i32.wav", 1, 32, ints.tobytes())
+    y, sr = read_wav(p)
+    np.testing.assert_allclose(y, x, atol=1e-6)
+
+
+def test_wav_extensible_unknown_subformat_raises(tmp_path):
+    p = _extensible_wav(tmp_path, "ext_bad.wav", 0xFFFA, 32, b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        read_wav(p)
+
+
 def test_wav_stereo_downmix(tmp_path):
     import struct
 

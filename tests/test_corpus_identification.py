@@ -116,3 +116,26 @@ def test_recorded_birds(jax_fingerprints):
     assert identified(m) == 4                       # golden at shipped default
     diag = np.diag(m)
     assert (diag >= 52.0).all() and (diag <= 55.5).all()  # golden 52.1-55.4
+
+
+def test_chaffinch_prefix_crop_scores_like_essay(jax_fingerprints, default_config):
+    """Root-cause regression (CALIBRATION.md): the shipped Chaffinch_eql is a
+    re-exported generation (9/10 other _eql crops are byte-exact archive
+    prefixes; Chaffinch's has residual RMS 11.6% of signal, in-band).  On a
+    bit-exact prefix crop — what the essay's Test 1 actually measured — this
+    pipeline scores inside the essay's 93-99 range, proving no
+    Chaffinch-specific robustness gap."""
+    from lbaudiodetective_tpu.io import caf
+    from lbaudiodetective_tpu.io.decode import DecodedAudio
+    from lbaudiodetective_tpu.io.resample import resample_rational
+    from tests.conftest import corpus_path
+
+    a44, _ = caf.read_caf(corpus_path("Chaffinch"))
+    e44, _ = caf.read_caf(corpus_path("Chaffinch_eql"))
+    n = len(e44)
+    proc = resample_rational(np.asarray(a44[:n], np.float32), 44100.0, 5512.0)
+    crop = DecodedAudio(np.asarray(proc, np.float32), 5512.0, n, 44100.0)
+    pos, neg, ns = extract_fingerprint(crop, default_config)
+    score = match_fingerprints(jax_fingerprints["Chaffinch"],
+                               (pos[:ns], neg[:ns])) * 100.0
+    assert score >= 93.0, f"bit-exact prefix crop scored {score:.1f}"

@@ -202,6 +202,80 @@ def match_long_padded(pos1, neg1, n1, pos2, neg2, n2,
     return jnp.where(n2 > 0, jnp.max(means), 0.0)
 
 
+@partial(jax.jit, static_argnames=(
+    "comparison_range", "subfingerprint_length", "col_stride", "n_candidates",
+    "refine_radius"))
+def match_long_hierarchical(pos1, neg1, n1, pos2, neg2, n2,
+                            comparison_range: int = 0,
+                            subfingerprint_length: int = 200,
+                            col_stride: int = 4,
+                            n_candidates: int = 16,
+                            refine_radius: int = 2):
+    """Hierarchical coarse->fine long matcher (SURVEY §5).
+
+    Coarse pass: estimate every offset's score from every ``col_stride``-th
+    query subfingerprint — the expensive [S1, S2] similarity matmul shrinks
+    by ``col_stride`` while the offset axis stays at full resolution (the
+    true match peak is 1-2 offsets wide, so subsampling offsets would miss
+    it; subsampling the mean's terms only adds noise ~sigma/sqrt(n2/stride)).
+    Fine pass: exactly re-score the ``n_candidates`` best coarse offsets and
+    their ±``refine_radius`` neighbourhoods with the full column set, and
+    return the exact maximum over the refined set.
+
+    Exact-equal to the full scan whenever the true argmax survives the
+    coarse top-k (holds with wide margin for genuine matches; for
+    guaranteed-exact scores on adversarial data use match_long_padded).
+    fp1 must be the longer side, zero-padded; same contract as
+    match_long_padded.  Reference semantics: Fingerprint.m:119-176.
+    """
+    s1, pairs = pos1.shape
+    s2 = pos2.shape[0]
+    mask = jnp.asarray(_pair_mask(pairs, comparison_range, subfingerprint_length))
+    mb = mask.astype(jnp.bfloat16)
+    p1 = pos1.astype(jnp.bfloat16) * mb
+    q1 = neg1.astype(jnp.bfloat16) * mb
+    w = jnp.sum((p1 + q1).astype(jnp.float32), axis=-1)              # [S1]
+    inv_w = jnp.where(w > 0.0, 1.0 / jnp.maximum(w, 1.0), 0.0)
+
+    # -- coarse: subsampled columns, all offsets -----------------------------
+    cols = np.arange(0, s2, col_stride)
+    cp = pos2[cols].astype(jnp.bfloat16)
+    cq = neg2[cols].astype(jnp.bfloat16)
+    hits_c = (jnp.dot(p1, cp.T, preferred_element_type=jnp.float32)
+              + jnp.dot(q1, cq.T, preferred_element_type=jnp.float32))
+    sim_c = hits_c * inv_w[:, None]                                  # [S1, Sc]
+    col_valid = (jnp.asarray(cols) < n2).astype(jnp.float32)
+    sim_c = sim_c * col_valid[None, :]
+    d_c = jnp.zeros((s1,), jnp.float32)
+    for j, i in enumerate(cols):
+        d_c = d_c + jnp.roll(sim_c[:, j], -int(i))
+    means_c = d_c / jnp.maximum(col_valid.sum(), 1.0)
+    o_valid = jnp.arange(s1) <= (n1 - n2)
+    means_c = jnp.where(o_valid, means_c, -1.0)
+    _, cand = jax.lax.top_k(means_c, n_candidates)                   # [K]
+
+    # -- fine: exact re-score around each candidate --------------------------
+    p2 = pos2.astype(jnp.bfloat16)
+    q2 = neg2.astype(jnp.bfloat16)
+    i_valid = (jnp.arange(s2) < n2).astype(jnp.float32)
+
+    def exact_at(offset):
+        o = jnp.clip(offset, 0, s1 - s2)
+        rp = jax.lax.dynamic_slice(p1, (o, 0), (s2, pairs))
+        rn = jax.lax.dynamic_slice(q1, (o, 0), (s2, pairs))
+        riw = jax.lax.dynamic_slice(inv_w, (o,), (s2,))
+        hits = (jnp.sum((rp * p2).astype(jnp.float32), axis=-1)
+                + jnp.sum((rn * q2).astype(jnp.float32), axis=-1))   # [S2]
+        sim = hits * riw * i_valid
+        mean = jnp.sum(sim) / jnp.maximum(n2, 1).astype(jnp.float32)
+        return jnp.where((offset >= 0) & (offset <= n1 - n2), mean, 0.0)
+
+    deltas = np.arange(-refine_radius, refine_radius + 1)
+    offsets = (cand[:, None] + jnp.asarray(deltas)[None, :]).reshape(-1)
+    scores = jax.vmap(exact_at)(offsets)
+    return jnp.where(n2 > 0, jnp.max(scores), 0.0)
+
+
 @partial(jax.jit, static_argnames=("comparison_range", "subfingerprint_length"))
 def match_one_vs_many_padded(query_pos, query_neg, n_query,
                              lib_pos, lib_neg, n_lib,

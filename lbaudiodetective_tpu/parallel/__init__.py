@@ -10,6 +10,7 @@ analog), and long-fingerprint / all-pairs work rides a ppermute ring
 """
 
 from lbaudiodetective_tpu.parallel.mesh import make_mesh
+from lbaudiodetective_tpu.parallel.long_match import match_long_time_sharded
 from lbaudiodetective_tpu.parallel.sharded import (
     extract_data_parallel,
     match_library_sharded,
@@ -20,5 +21,6 @@ __all__ = [
     "make_mesh",
     "extract_data_parallel",
     "match_library_sharded",
+    "match_long_time_sharded",
     "ring_all_pairs_scores",
 ]

@@ -3,9 +3,11 @@
 Maps every public function of `LBAudioDetective.h` (constructor, preference
 getters/setters, processing, comparison) and of
 `LBAudioDetectiveFingerprint.h` (container ops) onto the pythonic framework
-objects.  Out-parameters become return values; OSStatus codes become Python
-exceptions (``ValueError`` for kLBAudioDetectiveArgumentInvalid semantics,
-LBAudioDetective.m:20,211-214).
+objects.  Out-parameters become return values; OSStatus codes become the
+typed exceptions of :mod:`lbaudiodetective_tpu.errors`
+(``InvalidArgumentError`` for kLBAudioDetectiveArgumentInvalid semantics,
+LBAudioDetective.m:20,211-214; decode failures raise ``DecodeError`` /
+``UnsupportedFormatError``).
 
     detective = LBAudioDetectiveNew()
     match = LBAudioDetectiveCompareAudioURLs(detective, url1, url2, 0)
@@ -24,12 +26,13 @@ from lbaudiodetective_tpu.config import (
     DEFAULT_SUBFINGERPRINT_LENGTH,
     DEFAULT_WINDOW_SIZE,
 )
+from lbaudiodetective_tpu.errors import InvalidArgumentError
 from lbaudiodetective_tpu.models.detective import AudioDetective
 from lbaudiodetective_tpu.models.fingerprint import Fingerprint
 from lbaudiodetective_tpu.ops.match import match_fingerprints
 
 # Constants (LBAudioDetective.m:20-26)
-kLBAudioDetectiveArgumentInvalid = 1  # OSStatus analogue; raised as ValueError
+kLBAudioDetectiveArgumentInvalid = 1  # OSStatus analogue; raised as errors.InvalidArgumentError
 kLBAudioDetectiveDefaultWindowSize = DEFAULT_WINDOW_SIZE
 kLBAudioDetectiveDefaultAnalysisStride = DEFAULT_ANALYSIS_STRIDE
 kLBAudioDetectiveDefaultNumberOfPitchSteps = DEFAULT_PITCH_STEP_COUNT
@@ -45,7 +48,7 @@ def LBAudioDetectiveNew() -> AudioDetective:
 
 def LBAudioDetectiveDispose(detective: AudioDetective) -> None:
     if detective is None:
-        raise ValueError("invalid argument: detective is None")
+        raise InvalidArgumentError("invalid argument: detective is None")
     detective.dispose()
 
 
@@ -103,7 +106,7 @@ def LBAudioDetectiveSetAnalysisStride(d: AudioDetective, stride: int) -> None:
 
 def LBAudioDetectiveProcessAudioURL(d: AudioDetective, url: str) -> Fingerprint:
     if url is None:
-        raise ValueError("invalid argument: url is None")
+        raise InvalidArgumentError("invalid argument: url is None")
     return d.process_audio_file(url)
 
 

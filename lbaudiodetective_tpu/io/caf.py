@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from lbaudiodetective_tpu.errors import DecodeError, UnsupportedFormatError
+
 # Standard IMA ADPCM tables.
 IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 IMA_STEP_TABLE = np.array([
@@ -59,7 +61,7 @@ class CafFile:
 
 def parse_caf(raw: bytes) -> CafFile:
     if raw[:4] != b"caff":
-        raise ValueError("not a CAF file (missing 'caff' magic)")
+        raise DecodeError("not a CAF file (missing 'caff' magic)")
     off = 8
     desc = None
     data = None
@@ -84,7 +86,7 @@ def parse_caf(raw: bytes) -> CafFile:
             data = raw[payload_off + 4:payload_off + csize]
         off = payload_off + csize
     if desc is None or data is None:
-        raise ValueError("CAF file missing desc or data chunk")
+        raise DecodeError("CAF file missing desc or data chunk")
     return CafFile(desc=desc, data=data, valid_frames=valid_frames)
 
 
@@ -156,10 +158,10 @@ def read_caf(path: str) -> tuple[np.ndarray, float]:
     fmt = caf.desc.format_id
     if fmt == "ima4":
         if caf.desc.channels_per_frame != 1:
-            raise NotImplementedError("only mono IMA4 is supported")
+            raise UnsupportedFormatError("only mono IMA4 is supported")
         samples = decode_ima4(caf.data, caf.valid_frames)
     elif fmt == "lpcm":
         samples = decode_lpcm(caf.data, caf.desc)
     else:
-        raise NotImplementedError(f"unsupported CAF codec {fmt!r}")
+        raise UnsupportedFormatError(f"unsupported CAF codec {fmt!r}")
     return samples, caf.desc.sample_rate

@@ -12,13 +12,15 @@ import struct
 
 import numpy as np
 
+from lbaudiodetective_tpu.errors import DecodeError, UnsupportedFormatError
+
 
 def read_wav(path: str) -> tuple[np.ndarray, float]:
     """Read a WAV file -> (mono float32 samples in [-1,1), sample_rate)."""
     with open(path, "rb") as f:
         raw = f.read()
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
+        raise DecodeError("not a RIFF/WAVE file")
     off = 12
     fmt = None
     data = None
@@ -35,7 +37,7 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
             data = raw[payload:payload + csize]
         off = payload + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
-        raise ValueError("WAV missing fmt or data chunk")
+        raise DecodeError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
         # The real format code is the first 2 bytes of the SubFormat GUID at
@@ -44,11 +46,11 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
         if len(fmt_payload) >= 26:
             (audio_format,) = struct.unpack("<H", fmt_payload[24:26])
         else:
-            raise NotImplementedError(
+            raise UnsupportedFormatError(
                 "WAVE_FORMAT_EXTENSIBLE fmt chunk too short to carry the "
                 "SubFormat GUID")
         if audio_format not in (1, 3):
-            raise NotImplementedError(
+            raise UnsupportedFormatError(
                 f"unsupported WAVE_FORMAT_EXTENSIBLE SubFormat {audio_format}")
 
     if audio_format == 1:  # integer PCM
@@ -65,14 +67,14 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
         elif bits == 32:
             x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
         else:
-            raise NotImplementedError(f"unsupported PCM bit depth {bits}")
+            raise UnsupportedFormatError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3:  # IEEE float
         dtype = {32: "<f4", 64: "<f8"}.get(bits)
         if dtype is None:
-            raise NotImplementedError(f"unsupported float bit depth {bits}")
+            raise UnsupportedFormatError(f"unsupported float bit depth {bits}")
         x = np.frombuffer(data, dtype).astype(np.float32)
     else:
-        raise NotImplementedError(f"unsupported WAV format code {audio_format}")
+        raise UnsupportedFormatError(f"unsupported WAV format code {audio_format}")
 
     if channels > 1:
         x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)

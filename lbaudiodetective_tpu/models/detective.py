@@ -86,7 +86,10 @@ class AudioDetective:
 
     def process_audio_file(self, path: str) -> Fingerprint:
         if path is None:
-            raise ValueError("path must not be None (kLBAudioDetectiveArgumentInvalid)")
+            from lbaudiodetective_tpu.errors import InvalidArgumentError
+
+            raise InvalidArgumentError(
+                "path must not be None (kLBAudioDetectiveArgumentInvalid)")
         audio = decode_audio_file(path, self.config.processing_sample_rate)
         return self.process_decoded(audio)
 

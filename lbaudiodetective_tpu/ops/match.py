@@ -308,15 +308,39 @@ def match_one_vs_many_padded(query_pos, query_neg, n_query,
 
     w_lib = jnp.sum((lp + ln).astype(jnp.float32), axis=-1).reshape(l, s_lib)
     w_q = jnp.sum(((qp + qn) * mb).astype(jnp.float32), axis=-1)       # [Sq]
+    inv_lib = jnp.where(w_lib > 0.0, 1.0 / jnp.maximum(w_lib, 1.0), 0.0)
+    inv_q = jnp.where(w_q > 0.0, 1.0 / jnp.maximum(w_q, 1.0), 0.0)
 
     nq = jnp.broadcast_to(n_query, (l,))
-    # Orientation A: library entry is fp1 (longer side).
-    sim_a = jnp.where(w_lib[..., None] > 0.0,
-                      hits / jnp.maximum(w_lib, 1.0)[..., None], 0.0)
+    return _both_orientation_scores(hits, inv_lib, inv_q, n_lib, nq)
+
+
+def _both_orientation_scores(hits, inv_lib, inv_q, n_lib, nq):
+    """Offset-sliding scores for both swap orientations from one shared
+    ``hits`` tensor (quirk Q10: only the possible-hits denominator and the
+    slide direction depend on which side is longer).
+
+    hits: ``[L, Sl, Sq]`` raw hit counts; inv_lib: ``[L, Sl]`` reciprocal
+    possible-hits of library rows (0 where none); inv_q: ``[Sq]`` likewise
+    for the query; n_lib/nq: ``[L]`` valid counts.  The per-orientation sim
+    tensors are formed by row scaling (never transposed/copied) and reduced
+    by the same static-roll banded-diagonal sum as offset_scores.
+    """
+    l, s_lib, s_q = hits.shape
+    # Orientation A: library entry is fp1 (slid, longer).  Scale rows.
+    sim_a = hits * inv_lib[..., None]
     score_a = offset_scores(sim_a, n_lib, nq)
-    # Orientation B: query is fp1.
-    sim_b = jnp.where(w_q[None, :, None] > 0.0,
-                      hits.swapaxes(-1, -2) / jnp.maximum(w_q, 1.0)[None, :, None],
-                      0.0)
-    score_b = offset_scores(sim_b, nq, n_lib)
+    # Orientation B: query is fp1.  Scale columns; the diagonal sum
+    # D[l, o] = sum_i sim_b[l, i, o+i] needs rolls along the LAST axis of the
+    # untransposed tensor: row i of hits contributes hits[l, i, o+i]*inv_q[o+i].
+    sim_b = hits * inv_q[None, None, :]
+    i_idx = jnp.arange(s_lib)
+    masked_b = sim_b * (i_idx < n_lib[:, None])[..., None].astype(sim_b.dtype)
+    total_b = jnp.zeros((l, s_q), sim_b.dtype)
+    for i in range(s_lib):
+        total_b = total_b + jnp.roll(masked_b[:, i, :], -i, axis=-1)
+    means_b = total_b / jnp.maximum(n_lib, 1).astype(sim_b.dtype)[:, None]
+    o_valid_b = jnp.arange(s_q)[None, :] <= (nq - n_lib)[:, None]
+    score_b = jnp.max(jnp.where(o_valid_b, means_b, 0.0), axis=-1)
+    score_b = jnp.where(n_lib > 0, score_b, 0.0)
     return jnp.where(n_lib < nq, score_b, score_a)

@@ -60,6 +60,8 @@ def match_one_vs_many_packed(q_pos_w, q_neg_w, n_query,
     """Query vs packed library: ``[Sq, W]``/``[L, Sl, W]`` uint32 planes ->
     ``[L]`` float32 scores (identical to ops.match.match_one_vs_many_padded).
     """
+    from lbaudiodetective_tpu.ops.match import _both_orientation_scores
+
     mask_w = jnp.asarray(_mask_words(pairs, comparison_range,
                                      subfingerprint_length))
     lp = lib_pos_w & mask_w
@@ -79,14 +81,9 @@ def match_one_vs_many_packed(q_pos_w, q_neg_w, n_query,
 
     w_lib = jnp.sum(jax.lax.population_count(lp | ln), axis=-1).astype(jnp.float32)
     w_q = jnp.sum(jax.lax.population_count(qp | qn), axis=-1).astype(jnp.float32)
+    inv_lib = jnp.where(w_lib > 0.0, 1.0 / jnp.maximum(w_lib, 1.0), 0.0)
+    inv_q = jnp.where(w_q > 0.0, 1.0 / jnp.maximum(w_q, 1.0), 0.0)
 
     l = lib_pos_w.shape[0]
     nq = jnp.broadcast_to(n_query, (l,))
-    sim_a = jnp.where(w_lib[..., None] > 0.0,
-                      hits / jnp.maximum(w_lib, 1.0)[..., None], 0.0)
-    score_a = offset_scores(sim_a, n_lib, nq)
-    sim_b = jnp.where(w_q[None, :, None] > 0.0,
-                      hits.swapaxes(-1, -2) / jnp.maximum(w_q, 1.0)[None, :, None],
-                      0.0)
-    score_b = offset_scores(sim_b, nq, n_lib)
-    return jnp.where(n_lib < nq, score_b, score_a)
+    return _both_orientation_scores(hits, inv_lib, inv_q, n_lib, nq)

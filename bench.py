@@ -74,7 +74,9 @@ def bench_extract(config, batch: int, clip_seconds: float = 10.0, iters: int = 3
 
 def bench_match(config, library_size: int, s_max: int = 64, iters: int = 10):
     """Pinned standard config: query = s_max//2 valid subfingerprints vs a
-    library of full-length (s_max) entries — a ~5 s query against ~10 s tracks.
+    library of full-length (s_max) entries — a ~5 s query against ~10 s
+    tracks.  Library size 16384 amortises the ~2.4 ms relay dispatch so the
+    metric reflects sustained matcher throughput.
     """
     from lbaudiodetective_tpu.ops.match import match_one_vs_many_padded
 
@@ -133,6 +135,60 @@ def bench_match_packed(config, library_size: int, s_max: int = 64,
     return library_size / dt, dt
 
 
+def bench_packed_64k(config, s_max: int = 64, iters: int = 5):
+    """README figure: one query vs a 65536-track packed library."""
+    pair_cps, _ = bench_match_packed(config, library_size=65536,
+                                     s_max=s_max, iters=iters)
+    return pair_cps
+
+
+def bench_million_track(config, s_max: int = 64, chunk: int = 65536,
+                        iters: int = 3):
+    """README figure: seconds per query against a 1M-track packed library
+    resident on one chip (2 x 1.07 GB uint32 planes), scanned in chunks.
+
+    Library bits are random words (pos/neg overlap is irrelevant to timing);
+    the scores themselves are validated against the oracle in
+    tests/test_library.py at smaller scale.
+    """
+    from lbaudiodetective_tpu.ops.match_packed import match_one_vs_many_packed
+    from lbaudiodetective_tpu.utils.packing import words_per_plane
+
+    l = 1_048_576
+    pairs = config.num_wavelet_pairs
+    w = words_per_plane(pairs)
+    rng = np.random.default_rng(5)
+    lib_pos = jnp.asarray(rng.integers(0, 2**32, size=(l, s_max, w),
+                                       dtype=np.uint32))
+    lib_neg = jnp.asarray(rng.integers(0, 2**32, size=(l, s_max, w),
+                                       dtype=np.uint32))
+    n_lib = jnp.full((chunk,), s_max, jnp.int32)
+    q_pos = jnp.asarray(rng.integers(0, 2**32, size=(s_max, w),
+                                     dtype=np.uint32))
+    q_neg = jnp.asarray(rng.integers(0, 2**32, size=(s_max, w),
+                                     dtype=np.uint32))
+    nq = jnp.int32(s_max // 2)
+    jax.block_until_ready((lib_pos, lib_neg))
+
+    def query(carry):
+        best = jnp.float32(0.0)
+        for start in range(0, l, chunk):
+            scores = match_one_vs_many_packed(
+                q_pos ^ (carry * 0.0).astype(jnp.uint32), q_neg, nq,
+                jax.lax.dynamic_slice(lib_pos, (start, 0, 0),
+                                      (chunk, s_max, w)),
+                jax.lax.dynamic_slice(lib_neg, (start, 0, 0),
+                                      (chunk, s_max, w)),
+                n_lib, config.num_wavelet_pairs, 0,
+                config.subfingerprint_length)
+            best = jnp.maximum(best, jnp.max(scores))
+            carry = carry + best * 0.0
+        return best, carry
+
+    dt = _timed(query, iters)
+    return dt, l
+
+
 def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
                     steps: int = 20):
     """BASELINE config 4: concurrent stream throughput (real-time factor)."""
@@ -152,47 +208,110 @@ def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
     return audio_seconds / dt, n_streams
 
 
+def bench_rows_stage(config, batch: int, clip_seconds: float = 10.0,
+                     iters: int = 3):
+    """Rows-stage-only timing (the fused Pallas kernel without top-k/pack);
+    the difference vs bench_extract is the top-k + sign + pack share."""
+    from lbaudiodetective_tpu.ops.extract import (
+        bucket_subfingerprints, required_padded_length)
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+
+    file_frames = int(clip_seconds * config.file_sample_rate)
+    proc_frames = int(clip_seconds * config.processing_sample_rate)
+    n_sub = config.num_subfingerprints(file_frames, proc_frames)
+    n_rows = bucket_subfingerprints(n_sub) * config.rows_per_frame
+    t_pad = required_padded_length(config, n_rows)
+    audio = jnp.asarray(_synth_clips(batch, t_pad))
+
+    @jax.jit
+    def step(carry):
+        r = fused_band_rows_v3(audio + carry * 0.0, config, n_rows,
+                               fuse_haar=True)
+        return r, carry + jnp.sum(r[0, ::997, :1])
+
+    return _timed(step, iters)
+
+
 def main():
     quick = "--quick" in sys.argv
     from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.utils import profiling
 
+    timers = profiling.StageTimers()
     details = {"device": str(jax.devices()[0]), "jax": jax.__version__}
 
     parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
     proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected
 
     batch = 8 if quick else 128  # larger batches amortise ~2.4 ms dispatch
-    clips_per_sec, dt = bench_extract(parity_cfg, batch=batch)
+    with timers.stage("extract_parity"):
+        clips_per_sec, dt = bench_extract(parity_cfg, batch=batch)
     details["extract_parity_clips_per_sec"] = clips_per_sec
     details["extract_parity_batch"] = batch
     details["extract_parity_step_seconds"] = dt
 
+    # Per-stage breakdown: rows kernel alone vs full extract; the difference
+    # is the top-k/sign/pack share (the two stages of the fused pipeline).
+    try:
+        with timers.stage("rows_stage"):
+            rows_dt = bench_rows_stage(parity_cfg, batch=batch)
+        details["stage_breakdown_parity"] = {
+            "rows_kernel_seconds_per_batch": rows_dt,
+            "topk_pack_seconds_per_batch": max(dt - rows_dt, 0.0),
+            "batch": batch,
+        }
+    except Exception as e:
+        details["stage_breakdown_error"] = str(e)[:200]
+
     batch_p = 32 if quick else 512
-    clips_proc, dt_p = bench_extract(proc_cfg, batch=batch_p)
+    with timers.stage("extract_proc"):
+        clips_proc, dt_p = bench_extract(proc_cfg, batch=batch_p)
     details["extract_proc_clips_per_sec"] = clips_proc
     details["extract_proc_batch"] = batch_p
     details["extract_proc_step_seconds"] = dt_p
 
-    lib = 1024 if quick else 4096
-    pair_cps, sub_cps, dt_m = bench_match(parity_cfg, library_size=lib)
-    details["match_pair_compares_per_sec"] = pair_cps
+    # Matchers: pinned config, THREE consecutive runs recorded (the target
+    # must hold across runs, not on a lucky one).
+    lib = 2048 if quick else 16384
+    runs, runs_packed = [], []
+    for _ in range(1 if quick else 3):
+        with timers.stage("match_matmul"):
+            pair_cps, sub_cps, dt_m = bench_match(parity_cfg, library_size=lib)
+        runs.append(pair_cps)
+        try:
+            with timers.stage("match_packed"):
+                packed_cps, _ = bench_match_packed(parity_cfg, library_size=lib)
+            runs_packed.append(packed_cps)
+        except Exception as e:
+            details["match_packed_error"] = str(e)[:200]
+    details["match_pair_compares_per_sec"] = min(runs)
+    details["match_pair_compares_runs"] = runs
     details["match_subfingerprint_compares_per_sec"] = sub_cps
     details["match_library_size"] = lib
+    if runs_packed:
+        details["match_packed_pair_compares_per_sec"] = min(runs_packed)
+        details["match_packed_pair_compares_runs"] = runs_packed
 
-    try:
-        packed_cps, _ = bench_match_packed(parity_cfg, library_size=lib)
-        details["match_packed_pair_compares_per_sec"] = packed_cps
-    except Exception as e:
-        details["match_packed_error"] = str(e)[:200]
+    if "--packed-64k" in sys.argv:
+        with timers.stage("packed_64k"):
+            details["match_packed_64k_pair_compares_per_sec"] = \
+                bench_packed_64k(parity_cfg)
+    if "--million-track" in sys.argv:
+        with timers.stage("million_track"):
+            q_dt, l = bench_million_track(parity_cfg)
+        details["million_track_query_seconds"] = q_dt
+        details["million_track_library_size"] = l
 
     try:
         n_streams = 64 if quick else 256
-        rt_factor, _ = bench_streaming(parity_cfg, n_streams=n_streams)
+        with timers.stage("streaming"):
+            rt_factor, _ = bench_streaming(parity_cfg, n_streams=n_streams)
         details["streaming_realtime_factor"] = rt_factor
         details["streaming_concurrent_streams"] = n_streams
     except Exception as e:  # keep the primary metric robust
         details["streaming_error"] = str(e)[:200]
 
+    details["host_stage_seconds"] = timers.report()
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
 

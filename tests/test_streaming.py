@@ -77,3 +77,32 @@ def test_streaming_detective_lifecycle():
     det.process_samples((rng.standard_normal(8192) * 0.1).astype(np.float32))
     assert len(done) == 1
     assert done[0].num_subfingerprints >= 1
+
+
+def test_streaming_sharded_over_data_axis():
+    """256-stream runtime with the stream axis sharded over an 8-device mesh:
+    identical bits to the unsharded extractor, state stays sharded."""
+    import jax
+    from jax.sharding import Mesh
+
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.streaming.runtime import StreamingExtractor
+
+    cfg = FingerprintConfig(hop_domain="proc")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    b, chunk, steps = 16, 1024, 8
+    rng = np.random.default_rng(31)
+    chunks = (rng.standard_normal((steps, b, chunk)) * 0.1).astype(np.float32)
+
+    plain = StreamingExtractor(batch=b, chunk_size=chunk, config=cfg)
+    sharded = StreamingExtractor(batch=b, chunk_size=chunk, config=cfg,
+                                 mesh=mesh)
+    for t in range(steps):
+        plain.feed(chunks[t])
+        sharded.feed(chunks[t])
+
+    fp_a = plain.fingerprints()
+    fp_b = sharded.fingerprints()
+    assert all(a == b_ for a, b_ in zip(fp_a, fp_b))
+    shardings = {str(d) for d in sharded.audio_ring.devices()}
+    assert len(shardings) == 8, "stream state not spread over the mesh"

@@ -13,6 +13,8 @@ import subprocess
 
 import numpy as np
 
+from lbaudiodetective_tpu.errors import DecodeError
+
 _DIR = pathlib.Path(__file__).resolve().parent
 _SO = _DIR / "build" / "libcaf_decoder.so"
 _lib = None
@@ -59,7 +61,7 @@ def read_caf(path: str) -> tuple[np.ndarray, float]:
     status = lib.lbad_read_caf(path.encode(), ctypes.byref(ptr),
                                ctypes.byref(n), ctypes.byref(rate))
     if status != 0:
-        raise ValueError(f"native CAF decode failed (status {status}) for {path}")
+        raise DecodeError(f"native CAF decode failed (status {status}) for {path}")
     try:
         samples = np.ctypeslib.as_array(ptr, shape=(n.value,)).copy()
     finally:

@@ -1,0 +1,124 @@
+"""Serving edge: the essay's "Whistles" identification server analog.
+
+The reference project shipped a client/server split where the iOS app
+uploads a recording and the server matches it against a fingerprint DB
+keyed by bird (essay PDF §3.2.5, Table 3) over HTTP/JSON.  SURVEY §5 keeps
+RPC out of the core: this module is a thin stdlib-HTTP edge over
+:class:`~lbaudiodetective_tpu.models.library.FingerprintLibrary` — decode
+and extraction run through the normal TPU pipeline, the library match is
+one device dispatch per request.
+
+Endpoints (JSON unless noted):
+  GET  /healthz               -> {"ok": true, "tracks": N}
+  POST /identify              body: raw CAF or WAV bytes
+                              -> {"track": name, "score": s, "scores": {...}}
+  POST /fingerprint           body: raw CAF or WAV bytes
+                              -> {"n": count, "fingerprint": "0110...+..."}
+
+No third-party dependencies (stdlib ``http.server``); thread-safe because
+the library is immutable after construction and JAX dispatch is serialised
+per process.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.io.decode import decode_audio_file
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.models.library import FingerprintLibrary
+from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+from lbaudiodetective_tpu import errors
+
+
+class IdentificationService:
+    """Pure request->response core (testable without sockets)."""
+
+    def __init__(self, library: FingerprintLibrary, names: list[str],
+                 config: FingerprintConfig | None = None):
+        if len(names) != len(library):
+            raise errors.InvalidArgumentError("names must match library size")
+        self.library = library
+        self.names = list(names)
+        self.config = config or FingerprintConfig()
+        self._lock = threading.Lock()
+
+    def _fingerprint_bytes(self, payload: bytes) -> Fingerprint:
+        suffix = ".caf" if payload[:4] == b"caff" else ".wav"
+        with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+            f.write(payload)
+            f.flush()
+            decoded = decode_audio_file(f.name)
+        pos, neg, n = extract_fingerprint(decoded, self.config)
+        return Fingerprint.from_planes(np.asarray(pos[:n]), np.asarray(neg[:n]),
+                                       self.config.subfingerprint_length)
+
+    def identify(self, payload: bytes) -> dict:
+        fp = self._fingerprint_bytes(payload)
+        if fp.num_subfingerprints == 0:
+            raise errors.DecodeError("clip too short to fingerprint")
+        with self._lock:            # one device dispatch per request
+            scores = self.library.match(fp)
+        best = int(np.argmax(scores))
+        return {"track": self.names[best], "score": float(scores[best]),
+                "scores": {n: float(s) for n, s in zip(self.names, scores)}}
+
+    def fingerprint(self, payload: bytes) -> dict:
+        fp = self._fingerprint_bytes(payload)
+        return {"n": fp.num_subfingerprints, "fingerprint": fp.to_string()}
+
+    def health(self) -> dict:
+        return {"ok": True, "tracks": len(self.library)}
+
+
+def make_server(service: IdentificationService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``server.server_address[1]`` is the
+    bound port (ephemeral when ``port=0``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, service.health())
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = self.rfile.read(length)
+                if self.path == "/identify":
+                    self._send(200, service.identify(payload))
+                elif self.path == "/fingerprint":
+                    self._send(200, service.fingerprint(payload))
+                else:
+                    self._send(404, {"error": "not found"})
+            except errors.AudioDetectiveError as e:
+                self._send(400, {"error": str(e), "status": e.status})
+            except Exception as e:  # noqa: BLE001 — serving edge must not die
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet test output
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(service: IdentificationService, host: str = "0.0.0.0",
+                  port: int = 8080) -> None:  # pragma: no cover - CLI entry
+    server = make_server(service, host, port)
+    server.serve_forever()

@@ -46,10 +46,19 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig,
     coeffs = frames if rows_are_coeffs else haar_2d(frames, precision=config.precision)
     flat = coeffs.reshape(*lead, n_sub, rpf * bands)
     k = config.num_wavelet_pairs
-    _, idx = jax.lax.top_k(jnp.abs(flat), k)
-    top = jnp.take_along_axis(flat, idx, axis=-1)
-    pos = (top > 0.0).astype(jnp.uint8)
-    neg = (top < 0.0).astype(jnp.uint8)
+    # Gather-free exact selection: stable-sort ascending on ~abs_bits (== |x|
+    # descending, index ties kept in reference order — the NSNumber sort in
+    # LBAudioDetectiveFrame.m:165-191 is index-stable) with the sign class as
+    # a payload.  Bit-identical to top_k(|x|) + take_along_axis, but avoids
+    # the expensive TPU gather (~20% of extraction time).
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    keys = ~(bits & jnp.uint32(0x7FFFFFFF))
+    cls = ((flat > 0.0).astype(jnp.uint8) + 2 * (flat < 0.0).astype(jnp.uint8))
+    _, topcls = jax.lax.sort((keys, cls), dimension=-1, num_keys=1,
+                             is_stable=True)
+    topcls = topcls[..., :k]
+    pos = (topcls == 1).astype(jnp.uint8)
+    neg = (topcls == 2).astype(jnp.uint8)
     return pos, neg
 
 

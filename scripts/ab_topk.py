@@ -82,8 +82,61 @@ def signs_onehot(flat):
     return (top > 0).astype(jnp.uint8), (top < 0).astype(jnp.uint8)
 
 
+def signs_u32key(flat):
+    # Sign smuggled into the sort key: key = abs_bits<<1 | signbit.  Monotone
+    # in |x|; NO gather needed.  Tie order among equal-|x| differs from the
+    # reference (negative-first instead of lowest-index-first).
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    key = ((bits & jnp.uint32(0x7FFFFFFF)) << 1) | (bits >> 31)
+    # u32 order == i32 order after flipping the top bit.
+    ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
+    top, _ = jax.lax.top_k(ikey, K)
+    ukey = jax.lax.bitcast_convert_type(top, jnp.uint32) ^ jnp.uint32(0x80000000)
+    isneg = (ukey & 1).astype(jnp.uint8)
+    nonzero = (ukey > 1).astype(jnp.uint8)
+    return nonzero * (1 - isneg), nonzero * isneg
+
+
+def signs_u64key(flat):
+    # EXACT gather-free selection: 64-bit key = abs_bits(31) << 13
+    # | (4095 - idx)(12) << 1 | (x > 0).  Sorting keys desc reproduces the
+    # reference order (|x| desc, index asc) with ties broken exactly, and the
+    # sign is recoverable from bit 0.
+    n = flat.shape[-1]
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    abs32 = bits & jnp.uint32(0x7FFFFFFF)
+    ispos32 = ((bits >> 31) ^ jnp.uint32(1)) * (abs32 > 0).astype(jnp.uint32)
+    idx = jax.lax.broadcasted_iota(jnp.uint64, flat.shape, flat.ndim - 1)
+    key = ((abs32.astype(jnp.uint64) << 13)
+           | ((jnp.uint64(n - 1) - idx) << 1) | ispos32.astype(jnp.uint64))
+    ikey = jax.lax.bitcast_convert_type(key, jnp.int64)  # keys < 2^44: i64 order ok
+    top, _ = jax.lax.top_k(ikey, K)
+    topu = jax.lax.bitcast_convert_type(top, jnp.uint64)
+    pos = (topu & 1).astype(jnp.uint8)
+    neg = ((topu >> 13) > 0).astype(jnp.uint8) * (1 - pos)
+    return pos, neg
+
+
+def signs_sort2(flat):
+    # EXACT via stable full sort: lax.sort ascending on ~abs_bits (== abs
+    # desc) is stable, so index ties keep reference order; the sign class
+    # rides along as a payload.  No gather; costs a full 4096 sort.
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    abs_bits = bits & jnp.uint32(0x7FFFFFFF)
+    keys = ~abs_bits
+    cls = ((flat > 0).astype(jnp.uint8) + 2 * (flat < 0).astype(jnp.uint8))
+    _, topcls = jax.lax.sort((keys, cls), dimension=-1, num_keys=1,
+                             is_stable=True)
+    topcls = topcls[..., :K]
+    return (topcls == 1).astype(jnp.uint8), (topcls == 2).astype(jnp.uint8)
+
+
 SIGNS = {"cur": signs_cur, "nogather": signs_nogather, "intkey": signs_intkey,
-         "twostage": signs_twostage, "onehot": signs_onehot}
+         "twostage": signs_twostage, "onehot": signs_onehot,
+         "u32key": signs_u32key, "u64key": signs_u64key, "sort2": signs_sort2}
+
+if variant == "u64key":
+    jax.config.update("jax_enable_x64", True)
 
 
 @jax.jit

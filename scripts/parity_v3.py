@@ -43,7 +43,7 @@ dt = (time.perf_counter() - t0) / 5
 print(f"v3 rows step: {dt*1e3:.2f} ms / {B} clips", flush=True)
 
 # Full-pipeline bit parity on a real clip.
-z = np.load("/root/repo/tests/_cache/decoded_BlackBird.npz")
+z = np.load("/root/repo/tests/_cache/decoded_4297bbef_BlackBird.npz")
 clip = DecodedAudio(z["samples"], float(z["processing_rate"]),
                     int(z["file_frames"]), float(z["file_rate"]))
 jpos, jneg, n = extract_fingerprint(clip, cfg)

@@ -36,7 +36,8 @@ def _timed(fn, iters: int):
     ``fn(carry) -> (result, carry)`` must thread a data dependency through
     ``carry`` so iterations serialise; completion is forced by a host fetch
     of the final carry (block_until_ready alone does not wait on the axon
-    relay backend).
+    relay backend).  A chained sequence pays a ~40 ms one-time relay setup
+    cost, so iteration counts must be >= 20 for steady-state numbers.
     """
     carry = jnp.float32(0.0)
     _, carry = fn(carry)         # warm / compile
@@ -49,7 +50,7 @@ def _timed(fn, iters: int):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_extract(config, batch: int, clip_seconds: float = 10.0, iters: int = 3):
+def bench_extract(config, batch: int, clip_seconds: float = 10.0, iters: int = 20):
     from lbaudiodetective_tpu.ops.extract import (
         bucket_subfingerprints, extract_fingerprint_padded,
         required_padded_length)
@@ -72,7 +73,7 @@ def bench_extract(config, batch: int, clip_seconds: float = 10.0, iters: int = 3
     return batch / dt, dt
 
 
-def bench_match(config, library_size: int, s_max: int = 64, iters: int = 10):
+def bench_match(config, library_size: int, s_max: int = 64, iters: int = 30):
     """Pinned standard config: query = s_max//2 valid subfingerprints vs a
     library of full-length (s_max) entries — a ~5 s query against ~10 s
     tracks.  Library size 16384 amortises the ~2.4 ms relay dispatch so the
@@ -106,7 +107,7 @@ def bench_match(config, library_size: int, s_max: int = 64, iters: int = 10):
 
 
 def bench_match_packed(config, library_size: int, s_max: int = 64,
-                       iters: int = 10):
+                       iters: int = 30):
     """Same pinned matching workload through the packed-bit popcount matcher
     (the HBM-resident path used for big libraries)."""
     from lbaudiodetective_tpu.ops.match_packed import (match_one_vs_many_packed,
@@ -135,7 +136,7 @@ def bench_match_packed(config, library_size: int, s_max: int = 64,
     return library_size / dt, dt
 
 
-def bench_packed_64k(config, s_max: int = 64, iters: int = 5):
+def bench_packed_64k(config, s_max: int = 64, iters: int = 20):
     """README figure: one query vs a 65536-track packed library."""
     pair_cps, _ = bench_match_packed(config, library_size=65536,
                                      s_max=s_max, iters=iters)
@@ -143,7 +144,7 @@ def bench_packed_64k(config, s_max: int = 64, iters: int = 5):
 
 
 def bench_million_track(config, s_max: int = 64, chunk: int = 65536,
-                        iters: int = 3):
+                        iters: int = 10):
     """README figure: seconds per query against a 1M-track packed library
     resident on one chip (2 x 1.07 GB uint32 planes), scanned in chunks.
 
@@ -209,7 +210,7 @@ def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
 
 
 def bench_rows_stage(config, batch: int, clip_seconds: float = 10.0,
-                     iters: int = 3):
+                     iters: int = 20):
     """Rows-stage-only timing (the fused Pallas kernel without top-k/pack);
     the difference vs bench_extract is the top-k + sign + pack share."""
     from lbaudiodetective_tpu.ops.extract import (

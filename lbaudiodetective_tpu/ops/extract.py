@@ -54,6 +54,21 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig,
     bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
     keys = ~(bits & jnp.uint32(0x7FFFFFFF))
     cls = ((flat > 0.0).astype(jnp.uint8) + 2 * (flat < 0.0).astype(jnp.uint8))
+    n = flat.shape[-1]
+    nb = 8
+    keep = min(n // nb if nb else n, ((max(k, 128) + 127) // 128) * 128)
+    if nb and n % nb == 0 and n // nb >= keep >= k and n // nb >= 256:
+        # Two-stage blocked sort: per-block stable sorts use much shorter
+        # networks; keeping `keep` >= k per block still covers the global
+        # top-k, and the stable merge keeps cross-block ties in index order
+        # (blocks concatenated block-major), so the result is exact.
+        bs = n // nb
+        k2 = keys.reshape(*keys.shape[:-1], nb, bs)
+        c2 = cls.reshape(*cls.shape[:-1], nb, bs)
+        sk, sc = jax.lax.sort((k2, c2), dimension=-1, num_keys=1,
+                              is_stable=True)
+        keys = sk[..., :keep].reshape(*keys.shape[:-1], nb * keep)
+        cls = sc[..., :keep].reshape(*cls.shape[:-1], nb * keep)
     _, topcls = jax.lax.sort((keys, cls), dimension=-1, num_keys=1,
                              is_stable=True)
     topcls = topcls[..., :k]

@@ -295,7 +295,8 @@ def _rows_kernel_v3(*refs,
                     span_rows: int, window: int, rows: int, hop: int,
                     adv_rows: int, inv_div: float, k_max: int, precision,
                     fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int,
-                    batched_rolls: bool = False, aux3: bool = False):
+                    batched_rolls: bool = False, aux3: bool = False,
+                    proj_concat: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
      perm_ref, hcols_ref, out_ref) = refs[n_blk:]
@@ -383,6 +384,7 @@ def _rows_kernel_v3(*refs,
         g_all_im = [build_g_all(p_ims[k]) for k in range(tps)]
 
     rows_acc = jnp.zeros((tps * rows, out_ref.shape[-1]), jnp.float32)
+    v_parts = []
     for r in range(_A):
         if batched_rolls:
             g_re = jnp.concatenate([g_all_re[k][r] for k in range(tps)], axis=0)
@@ -394,6 +396,11 @@ def _rows_kernel_v3(*refs,
         x = jnp.where(x > 0.0, x * inv_div, x)
         v = x[:, :half] ** 2 + x[:, half:] ** 2
         v = jnp.where(jnp.isfinite(v), v, 0.0)
+        if proj_concat:
+            # Defer: one deep [M, 16*64] @ [16*64, bands] matmul after the
+            # loop (8 full-depth K-tiles) instead of 16 shallow K=64 ones.
+            v_parts.append(v)
+            continue
         if aux3:
             vh, vl = split3(v)
             contrib = (jnp.dot(vh, proj_ref[0, r], preferred_element_type=jnp.float32)
@@ -403,6 +410,16 @@ def _rows_kernel_v3(*refs,
             contrib = jnp.dot(v, proj_ref[r], precision=hi,
                               preferred_element_type=jnp.float32)
         rows_acc = rows_acc + contrib
+    if proj_concat:
+        v_cat = jnp.concatenate(v_parts, axis=1)           # [M, 16*64]
+        if aux3:
+            vh, vl = split3(v_cat)
+            rows_acc = (jnp.dot(vh, proj_ref[0], preferred_element_type=jnp.float32)
+                        + jnp.dot(vh, proj_ref[1], preferred_element_type=jnp.float32)
+                        + jnp.dot(vl, proj_ref[0], preferred_element_type=jnp.float32))
+        else:
+            rows_acc = jnp.dot(v_cat, proj_ref[:], precision=hi,
+                               preferred_element_type=jnp.float32)
 
     # Un-permutation (x Haar row pass) applied per tile: the step-wide matrix
     # is block-diagonal with tps identical [rows, rows] blocks, so per-tile
@@ -431,13 +448,15 @@ def _rows_kernel_v3(*refs,
 
 
 @partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar",
-                                   "batched_rolls", "aux_bf16x3", "tps_override"))
+                                   "batched_rolls", "aux_bf16x3", "tps_override",
+                                   "proj_concat"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
                        batched_rolls: bool = False,
                        aux_bf16x3: bool | None = None,
-                       tps_override: int | None = None) -> jnp.ndarray:
+                       tps_override: int | None = None,
+                       proj_concat: bool = True) -> jnp.ndarray:
     """BlockSpec-pipelined fused rows: ``[B, T] -> [B, n_rows, bands]``.
 
     Same math as v2; audio arrives as two shifted regular block inputs per
@@ -468,6 +487,9 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     if bf16x3:
         t2a = np.stack(_split_bf16(t2a))
         t2b = np.stack(_split_bf16(t2b))
+    if proj_concat:
+        proj_perm = proj_perm.reshape(_A * proj_perm.shape[1],
+                                      proj_perm.shape[2])
     if aux3:
         c16 = np.stack(_split_bf16(c16))
         s16 = np.stack(_split_bf16(s16))
@@ -521,7 +543,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      inv_div=1.0 / config.spectrum_scale_divisor,
                      k_max=k_max, precision=_pallas_precision(config.precision),
                      fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk,
-                     batched_rolls=batched_rolls, aux3=aux3)
+                     batched_rolls=batched_rolls, aux3=aux3,
+                     proj_concat=proj_concat)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

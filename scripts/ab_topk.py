@@ -131,9 +131,49 @@ def signs_sort2(flat):
     return (topcls == 1).astype(jnp.uint8), (topcls == 2).astype(jnp.uint8)
 
 
+def signs_sortblk(flat):
+    # EXACT two-stage blocked stable sort: per-512-block sort (shorter
+    # networks), keep top 128 per block (>= K so the global top-K is
+    # covered), stable merge of the 8x128 candidates.  Cross-block ties stay
+    # in index order because blocks are concatenated block-major and the
+    # merge sort is stable.
+    *lead, n = flat.shape
+    import os
+    nb = int(os.environ.get("SORTBLK_NB", "8"))
+    bs = n // nb
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+    keys = ~(bits & jnp.uint32(0x7FFFFFFF))
+    cls = ((flat > 0.0).astype(jnp.uint8) + 2 * (flat < 0.0).astype(jnp.uint8))
+    k2, c2 = (a.reshape(*lead, nb, bs) for a in (keys, cls))
+    sk, sc = jax.lax.sort((k2, c2), dimension=-1, num_keys=1, is_stable=True)
+    sk = sk[..., :128].reshape(*lead, nb * 128)
+    sc = sc[..., :128].reshape(*lead, nb * 128)
+    _, topcls = jax.lax.sort((sk, sc), dimension=-1, num_keys=1,
+                             is_stable=True)
+    topcls = topcls[..., :K]
+    return (topcls == 1).astype(jnp.uint8), (topcls == 2).astype(jnp.uint8)
+
+
+def signs_approx(flat):
+    # TIMING ONLY (approximate, and still pays the sign gather): measures
+    # the TPU PartialReduce top-k speed ceiling.
+    a = jnp.abs(flat)
+    _, idx = jax.lax.approx_max_k(a, K, recall_target=0.95)
+    top = jnp.take_along_axis(flat, idx, axis=-1)
+    return (top > 0).astype(jnp.uint8), (top < 0).astype(jnp.uint8)
+
+
+def signs_approx_nogather(flat):
+    # TIMING ONLY: PartialReduce without the gather (sign faked).
+    vals, _ = jax.lax.approx_max_k(jnp.abs(flat), K, recall_target=0.95)
+    return (vals > 0).astype(jnp.uint8), (vals < 1).astype(jnp.uint8)
+
+
 SIGNS = {"cur": signs_cur, "nogather": signs_nogather, "intkey": signs_intkey,
          "twostage": signs_twostage, "onehot": signs_onehot,
-         "u32key": signs_u32key, "u64key": signs_u64key, "sort2": signs_sort2}
+         "u32key": signs_u32key, "u64key": signs_u64key, "sort2": signs_sort2,
+         "sortblk": signs_sortblk, "approx": signs_approx,
+         "approxng": signs_approx_nogather}
 
 if variant == "u64key":
     jax.config.update("jax_enable_x64", True)
@@ -156,9 +196,10 @@ c = step(jnp.float32(0))
 float(np.asarray(c))
 compile_s = time.perf_counter() - t0
 c = jnp.float32(0)
+ITERS = 30
 t0 = time.perf_counter()
-for _ in range(5):
+for _ in range(ITERS):
     c = step(c)
 float(np.asarray(c))
-print(f"{variant} B={B} S={S}: {(time.perf_counter() - t0) / 5 * 1e3:.2f} ms"
+print(f"{variant} B={B} S={S}: {(time.perf_counter() - t0) / ITERS * 1e3:.2f} ms"
       f"  (compile {compile_s:.0f}s)")

@@ -23,7 +23,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TPS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-B, S = 32, 64
+B = int(sys.argv[2]) if len(sys.argv) > 2 and not sys.argv[2].startswith("-") else 32
+S = int(sys.argv[3]) if len(sys.argv) > 3 and not sys.argv[3].startswith("-") else 64
 RPF, LANE = 128, 128
 N_STEPS = S // TPS
 ADV = 8                       # rows per tile advance (hop 8 * 128 / 128)

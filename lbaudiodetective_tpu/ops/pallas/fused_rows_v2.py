@@ -309,10 +309,7 @@ def _rows_kernel_v3(*refs,
         xh = x.astype(jnp.bfloat16)
         return xh, (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    p_res, p_ims = [], []
-    for k in range(tps):
-        bufr = full[k * adv_rows:k * adv_rows + span_rows, :]
-        stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])
+    def stage1_pair(stack):
         if aux3:
             # 3-pass bf16 with pre-split (hi, lo) weight planes (~HIGH
             # precision at half the passes of Mosaic HIGHEST).
@@ -322,17 +319,36 @@ def _rows_kernel_v3(*refs,
                 return jax.lax.dot_general(
                     a, b, dn, preferred_element_type=jnp.float32)
 
-            p_res.append(dg(c16_re_ref[0], sh) + dg(c16_re_ref[1], sh)
-                         + dg(c16_re_ref[0], sl))
-            p_ims.append(dg(c16_im_ref[0], sh) + dg(c16_im_ref[1], sh)
-                         + dg(c16_im_ref[0], sl))
-        else:
-            p_res.append(jax.lax.dot_general(
-                c16_re_ref[:], stack, dn, precision=hi,
-                preferred_element_type=jnp.float32))
-            p_ims.append(jax.lax.dot_general(
-                c16_im_ref[:], stack, dn, precision=hi,
-                preferred_element_type=jnp.float32))
+            return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[1], sh)
+                    + dg(c16_re_ref[0], sl),
+                    dg(c16_im_ref[0], sh) + dg(c16_im_ref[1], sh)
+                    + dg(c16_im_ref[0], sl))
+        return (jax.lax.dot_general(c16_re_ref[:], stack, dn, precision=hi,
+                                    preferred_element_type=jnp.float32),
+                jax.lax.dot_general(c16_im_ref[:], stack, dn, precision=hi,
+                                    preferred_element_type=jnp.float32))
+
+    # Step-level stage-1: consecutive tiles' stage-1 inputs overlap (tile k
+    # reads rows [k*adv, k*adv+qu)), so ONE dot over the union span replaces
+    # tps shallow per-tile dots (the fill cost of tiny M=16 matmuls dominated)
+    # and each tile's P becomes a free major-axis slice.
+    m_tot = (tps - 1) * adv_rows + qu
+    step_level = True
+    if step_level:
+        stack_all = jnp.stack([full[a:a + m_tot, :] for a in range(_A)])
+        p_re_all, p_im_all = stage1_pair(stack_all)        # [16r, m_tot, 128]
+        p_res = [p_re_all[:, k * adv_rows:k * adv_rows + qu, :]
+                 for k in range(tps)]
+        p_ims = [p_im_all[:, k * adv_rows:k * adv_rows + qu, :]
+                 for k in range(tps)]
+    else:
+        p_res, p_ims = [], []
+        for k in range(tps):
+            bufr = full[k * adv_rows:k * adv_rows + span_rows, :]
+            stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])
+            pr, pi = stage1_pair(stack)
+            p_res.append(pr)
+            p_ims.append(pi)
 
     vper = _LANE // hop
     wper = rows // vper
@@ -383,10 +399,40 @@ def _rows_kernel_v3(*refs,
         g_all_re = [build_g_all(p_res[k]) for k in range(tps)]
         g_all_im = [build_g_all(p_ims[k]) for k in range(tps)]
 
+    if step_level:
+        # Step-level rolls: roll/select ONCE per v over the whole step's
+        # stage-1 output (128x fewer shuffle ops for the same bytes); every
+        # G piece below is then a pure major-axis slice.
+        m1 = m_tot - 1
+        sl_lane = jax.lax.broadcasted_iota(jnp.int32, (_A, m1, _LANE), 2)
+
+        def sel_all(p3):                                   # [16r, m_tot, 128]
+            out = []
+            for v in range(vper):
+                cut = hop * v
+                if cut == 0:
+                    out.append(p3[:, 0:m1, :])
+                else:
+                    rolled = pltpu.roll(p3, _LANE - cut, 2)
+                    out.append(jnp.where(sl_lane < _LANE - cut,
+                                         rolled[:, 0:m1, :],
+                                         rolled[:, 1:m_tot, :]))
+            return out
+
+        sel_re = sel_all(p_re_all)
+        sel_im = sel_all(p_im_all)
+
     rows_acc = jnp.zeros((tps * rows, out_ref.shape[-1]), jnp.float32)
     v_parts = []
     for r in range(_A):
-        if batched_rolls:
+        if step_level:
+            g_re = jnp.concatenate(
+                [sel_re[v][r, k * adv_rows:k * adv_rows + wper, :]
+                 for k in range(tps) for v in range(vper)], axis=0)
+            g_im = jnp.concatenate(
+                [sel_im[v][r, k * adv_rows:k * adv_rows + wper, :]
+                 for k in range(tps) for v in range(vper)], axis=0)
+        elif batched_rolls:
             g_re = jnp.concatenate([g_all_re[k][r] for k in range(tps)], axis=0)
             g_im = jnp.concatenate([g_all_im[k][r] for k in range(tps)], axis=0)
         else:

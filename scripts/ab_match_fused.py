@@ -20,7 +20,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/tests/_cache/xla")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def timed(fn, iters=10):
+def timed(fn, iters=30):
     carry = jnp.float32(0.0)
     _, carry = fn(carry)
     float(np.asarray(carry))

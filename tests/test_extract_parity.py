@@ -12,12 +12,19 @@ CLIPS = ["BlackBird", "BlackBird_eql", "Wren_dif", "Crow_blu1", "Pigeon_rec"]
 
 
 def test_bits_match_oracle(decoded_corpus, oracle_fingerprints, default_config):
+    import jax
+
+    exact = jax.default_backend() == "cpu"   # f32 matmuls are exact on CPU
     for name in CLIPS:
         pos, neg, n_sub = extract_fingerprint(decoded_corpus[name], default_config)
         opos, oneg = oracle_fingerprints[name]
         assert n_sub == opos.shape[0], name
         agreement = ((pos[:n_sub] == opos).mean() + (neg[:n_sub] == oneg).mean()) / 2
-        assert agreement >= 0.995, f"{name}: bit agreement {agreement:.4f}"
+        # Backs the README claim: >=99.9% bits vs the golden oracle on CPU
+        # (not bit-for-bit: the XLA conv-path summation order differs from
+        # the oracle's scalar order at f32), >=99.5% with TPU bf16x3 matmuls.
+        floor = 0.999 if exact else 0.995
+        assert agreement >= floor, f"{name}: bit agreement {agreement:.4f}"
 
 
 def test_batch_extraction_matches_single(decoded_corpus, default_config):

@@ -244,6 +244,14 @@ def main():
     parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
     proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected
 
+    if "--trace" in sys.argv:
+        # SURVEY §5 tracing: capture a perfetto-compatible device trace of
+        # one warm parity-extraction step under /tmp/lbad_trace.
+        bench_extract(parity_cfg, batch=8, iters=1)          # warm/compile
+        with profiling.trace_to("/tmp/lbad_trace"):
+            bench_extract(parity_cfg, batch=8, iters=1)
+        details["trace_dir"] = "/tmp/lbad_trace"
+
     batch = 8 if quick else 128  # larger batches amortise ~2.4 ms dispatch
     with timers.stage("extract_parity"):
         clips_per_sec, dt = bench_extract(parity_cfg, batch=batch)

@@ -93,3 +93,79 @@ def load_library(path: str, config: FingerprintConfig | None = None
             if stored != config_params_hash(config):
                 raise ValueError("library parameter hash mismatch")
         return z["pos"], z["neg"], z["counts"], int(z["pairs"])
+
+
+# --------------------------------------------------------------------------- #
+# Sharded, memory-mapped library DB (SURVEY §5 checkpoint/resume: "library DB
+# = memory-mapped shards; resumable pod jobs reload shard-local DB").  Each
+# shard is plain uncompressed .npy (np.load(mmap_mode="r") maps it without
+# copying), so a restarted slice re-attaches only its own shard — the analog
+# of the essay server's per-bird DB (PDF §3.2.5), laid out for the mesh's
+# "library" axis instead of a SQL table.
+# --------------------------------------------------------------------------- #
+
+
+def save_library_sharded(dir_path: str, fps: list[Fingerprint],
+                         config: FingerprintConfig, n_shards: int) -> None:
+    """Split a padded library into ``n_shards`` equal mmap-able shards.
+
+    Entries are padded so every shard holds ``ceil(L / n_shards)`` entries
+    (trailing entries have count 0 and never match), keeping per-shard shapes
+    identical — the static-shape requirement of the sharded matcher.
+    """
+    import os
+
+    if not fps:
+        raise ValueError("empty library")
+    os.makedirs(dir_path, exist_ok=True)
+    pairs = fps[0].pairs
+    s_max = max(f.num_subfingerprints for f in fps)
+    packed = [f.packed() for f in fps]
+    words = packed[0][0].shape[-1] if s_max else (pairs + 31) // 32
+    per = -(-len(fps) // n_shards)
+    l_pad = per * n_shards
+    pos = np.zeros((l_pad, s_max, words), np.uint32)
+    neg = np.zeros((l_pad, s_max, words), np.uint32)
+    counts = np.zeros(l_pad, np.int32)
+    for i, (p, n) in enumerate(packed):
+        counts[i] = p.shape[0]
+        pos[i, :p.shape[0]] = p
+        neg[i, :n.shape[0]] = n
+    manifest = {
+        "version": FORMAT_VERSION, "n_shards": n_shards, "entries": len(fps),
+        "entries_per_shard": per, "s_max": int(s_max), "words": int(words),
+        "pairs": int(pairs),
+        "subfingerprint_length": int(fps[0].subfingerprint_length),
+        "params_hash": config_params_hash(config),
+    }
+    with open(f"{dir_path}/manifest.json", "w") as f:
+        json.dump(manifest, f)
+    for s in range(n_shards):
+        sl = slice(s * per, (s + 1) * per)
+        np.save(f"{dir_path}/shard_{s:04d}_pos.npy", pos[sl])
+        np.save(f"{dir_path}/shard_{s:04d}_neg.npy", neg[sl])
+        np.save(f"{dir_path}/shard_{s:04d}_counts.npy", counts[sl])
+
+
+def load_library_shard(dir_path: str, shard: int,
+                       config: FingerprintConfig | None = None,
+                       mmap: bool = True
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Re-attach one shard (the restart path of a slice-local matcher).
+
+    Returns (pos_words, neg_words, counts, manifest); arrays are read-only
+    memory maps when ``mmap`` (no host copy until touched).
+    """
+    with open(f"{dir_path}/manifest.json") as f:
+        manifest = json.load(f)
+    if manifest["version"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported library format version {manifest['version']}")
+    if config is not None and manifest["params_hash"] != config_params_hash(config):
+        raise ValueError("library parameter hash mismatch")
+    if not 0 <= shard < manifest["n_shards"]:
+        raise ValueError(f"shard {shard} out of range")
+    mode = "r" if mmap else None
+    pos = np.load(f"{dir_path}/shard_{shard:04d}_pos.npy", mmap_mode=mode)
+    neg = np.load(f"{dir_path}/shard_{shard:04d}_neg.npy", mmap_mode=mode)
+    counts = np.load(f"{dir_path}/shard_{shard:04d}_counts.npy", mmap_mode=mode)
+    return pos, neg, counts, manifest

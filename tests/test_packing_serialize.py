@@ -49,6 +49,40 @@ def test_save_load_fingerprint(tmp_path):
         serialize.load_fingerprint(path, other)
 
 
+def test_sharded_library_roundtrip_and_resume(tmp_path):
+    """SURVEY §5 checkpoint/resume: shards are mmap-able and shard-local
+    reload reproduces every entry (the restart path of a slice-local
+    matcher)."""
+    cfg = FingerprintConfig()
+    rng = np.random.default_rng(16)
+    fps = []
+    for n in (3, 7, 5, 4, 6):
+        cls = rng.choice(3, size=(n, 100))
+        fps.append(Fingerprint.from_planes((cls == 1).astype(np.uint8),
+                                           (cls == 2).astype(np.uint8)))
+    d = str(tmp_path / "libdb")
+    serialize.save_library_sharded(d, fps, cfg, n_shards=2)
+
+    seen = []
+    for s in range(2):
+        pos, neg, counts, man = serialize.load_library_shard(d, s, cfg)
+        assert isinstance(pos, np.memmap)          # actually memory-mapped
+        assert pos.shape == (man["entries_per_shard"], man["s_max"],
+                             man["words"])
+        for i in range(pos.shape[0]):
+            if counts[i] == 0:
+                continue
+            seen.append(Fingerprint.from_packed(
+                np.asarray(pos[i, :counts[i]]), np.asarray(neg[i, :counts[i]]),
+                man["pairs"]))
+    assert seen == fps
+
+    with pytest.raises(ValueError):
+        serialize.load_library_shard(d, 0, cfg.with_updates(analysis_stride=32))
+    with pytest.raises(ValueError):
+        serialize.load_library_shard(d, 9, cfg)
+
+
 def test_save_load_library(tmp_path):
     cfg = FingerprintConfig()
     rng = np.random.default_rng(15)

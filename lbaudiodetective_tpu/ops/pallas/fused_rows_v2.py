@@ -296,7 +296,7 @@ def _rows_kernel_v3(*refs,
                     adv_rows: int, inv_div: float, k_max: int, precision,
                     fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int,
                     batched_rolls: bool = False, aux3: bool = False,
-                    proj_concat: bool = False):
+                    proj_concat: bool = False, conj_pairs: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
      perm_ref, hcols_ref, out_ref) = refs[n_blk:]
@@ -334,9 +334,10 @@ def _rows_kernel_v3(*refs,
     # and each tile's P becomes a free major-axis slice.
     m_tot = (tps - 1) * adv_rows + qu
     step_level = True
+    n_res = _A // 2 + 1 if conj_pairs else _A
     if step_level:
         stack_all = jnp.stack([full[a:a + m_tot, :] for a in range(_A)])
-        p_re_all, p_im_all = stage1_pair(stack_all)        # [16r, m_tot, 128]
+        p_re_all, p_im_all = stage1_pair(stack_all)        # [n_res, m_tot, 128]
         p_res = [p_re_all[:, k * adv_rows:k * adv_rows + qu, :]
                  for k in range(tps)]
         p_ims = [p_im_all[:, k * adv_rows:k * adv_rows + qu, :]
@@ -385,15 +386,20 @@ def _rows_kernel_v3(*refs,
                                         rolled[:, 1:wper + 1, :]))
         return jnp.concatenate(pieces, axis=1)             # [16r, rows, 128]
 
-    def stage2_dot(g, t_ref, r):
+    def stage2_dot(g, t_ref, r, wid=None):
+        # wid: slice the weight's lane width (conj-pair singles use only the
+        # first 128 of the padded 256 lanes — don't pay the wasted N-tile).
         if not bf16x3:
-            return jnp.dot(g, t_ref[r], precision=hi,
+            t = t_ref[r] if wid is None else t_ref[r, :, :wid]
+            return jnp.dot(g, t, precision=hi,
                            preferred_element_type=jnp.float32)
         g_hi = g.astype(jnp.bfloat16)
         g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        return (jnp.dot(g_hi, t_ref[0, r], preferred_element_type=jnp.float32)
-                + jnp.dot(g_hi, t_ref[1, r], preferred_element_type=jnp.float32)
-                + jnp.dot(g_lo, t_ref[0, r], preferred_element_type=jnp.float32))
+        t0 = t_ref[0, r] if wid is None else t_ref[0, r, :, :wid]
+        t1 = t_ref[1, r] if wid is None else t_ref[1, r, :, :wid]
+        return (jnp.dot(g_hi, t0, preferred_element_type=jnp.float32)
+                + jnp.dot(g_hi, t1, preferred_element_type=jnp.float32)
+                + jnp.dot(g_lo, t0, preferred_element_type=jnp.float32))
 
     if batched_rolls:
         g_all_re = [build_g_all(p_res[k]) for k in range(tps)]
@@ -404,7 +410,7 @@ def _rows_kernel_v3(*refs,
         # stage-1 output (128x fewer shuffle ops for the same bytes); every
         # G piece below is then a pure major-axis slice.
         m1 = m_tot - 1
-        sl_lane = jax.lax.broadcasted_iota(jnp.int32, (_A, m1, _LANE), 2)
+        sl_lane = jax.lax.broadcasted_iota(jnp.int32, (n_res, m1, _LANE), 2)
 
         def sel_all(p3):                                   # [16r, m_tot, 128]
             out = []
@@ -423,30 +429,16 @@ def _rows_kernel_v3(*refs,
         sel_im = sel_all(p_im_all)
 
     rows_acc = jnp.zeros((tps * rows, out_ref.shape[-1]), jnp.float32)
-    v_parts = []
-    for r in range(_A):
-        if step_level:
-            g_re = jnp.concatenate(
-                [sel_re[v][r, k * adv_rows:k * adv_rows + wper, :]
-                 for k in range(tps) for v in range(vper)], axis=0)
-            g_im = jnp.concatenate(
-                [sel_im[v][r, k * adv_rows:k * adv_rows + wper, :]
-                 for k in range(tps) for v in range(vper)], axis=0)
-        elif batched_rolls:
-            g_re = jnp.concatenate([g_all_re[k][r] for k in range(tps)], axis=0)
-            g_im = jnp.concatenate([g_all_im[k][r] for k in range(tps)], axis=0)
-        else:
-            g_re = jnp.concatenate([build_g(p_res[k][r]) for k in range(tps)], axis=0)
-            g_im = jnp.concatenate([build_g(p_ims[k][r]) for k in range(tps)], axis=0)
-        x = stage2_dot(g_re, t2a_ref, r) + stage2_dot(g_im, t2b_ref, r)
-        x = jnp.where(x > 0.0, x * inv_div, x)
-        v = x[:, :half] ** 2 + x[:, half:] ** 2
+    v_by_r = {}
+
+    def emit(r, v):
+        nonlocal rows_acc
         v = jnp.where(jnp.isfinite(v), v, 0.0)
         if proj_concat:
             # Defer: one deep [M, 16*64] @ [16*64, bands] matmul after the
             # loop (8 full-depth K-tiles) instead of 16 shallow K=64 ones.
-            v_parts.append(v)
-            continue
+            v_by_r[r] = v
+            return
         if aux3:
             vh, vl = split3(v)
             contrib = (jnp.dot(vh, proj_ref[0, r], preferred_element_type=jnp.float32)
@@ -456,8 +448,38 @@ def _rows_kernel_v3(*refs,
             contrib = jnp.dot(v, proj_ref[r], precision=hi,
                               preferred_element_type=jnp.float32)
         rows_acc = rows_acc + contrib
+
+    for gi in range(n_res):
+        if step_level:
+            g_re = jnp.concatenate(
+                [sel_re[v][gi, k * adv_rows:k * adv_rows + wper, :]
+                 for k in range(tps) for v in range(vper)], axis=0)
+            g_im = jnp.concatenate(
+                [sel_im[v][gi, k * adv_rows:k * adv_rows + wper, :]
+                 for k in range(tps) for v in range(vper)], axis=0)
+        elif batched_rolls:
+            g_re = jnp.concatenate([g_all_re[k][gi] for k in range(tps)], axis=0)
+            g_im = jnp.concatenate([g_all_im[k][gi] for k in range(tps)], axis=0)
+        else:
+            g_re = jnp.concatenate([build_g(p_res[k][gi]) for k in range(tps)], axis=0)
+            g_im = jnp.concatenate([build_g(p_ims[k][gi]) for k in range(tps)], axis=0)
+        if conj_pairs and 0 < gi < _A // 2:
+            # Conjugate pair (gi, 16-gi): G_{16-r} = conj(G_r) for real
+            # input, so one G feeds both residues' stage-2 through paired
+            # weights [A_r | A_rc] / [B_r | -B_rc] (weights built in the
+            # wrapper); x lanes [0:128) are residue gi, [128:256) are 16-gi.
+            x = stage2_dot(g_re, t2a_ref, gi) + stage2_dot(g_im, t2b_ref, gi)
+            x = jnp.where(x > 0.0, x * inv_div, x)
+            emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
+            emit(_A - gi, x[:, _LANE:_LANE + half] ** 2 + x[:, _LANE + half:] ** 2)
+        else:
+            wid = _LANE if conj_pairs else None   # singles: first 128 lanes
+            x = (stage2_dot(g_re, t2a_ref, gi, wid)
+                 + stage2_dot(g_im, t2b_ref, gi, wid))
+            x = jnp.where(x > 0.0, x * inv_div, x)
+            emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
     if proj_concat:
-        v_cat = jnp.concatenate(v_parts, axis=1)           # [M, 16*64]
+        v_cat = jnp.concatenate([v_by_r[r] for r in range(_A)], axis=1)
         if aux3:
             vh, vl = split3(v_cat)
             rows_acc = (jnp.dot(vh, proj_ref[0], preferred_element_type=jnp.float32)
@@ -495,14 +517,15 @@ def _rows_kernel_v3(*refs,
 
 @partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar",
                                    "batched_rolls", "aux_bf16x3", "tps_override",
-                                   "proj_concat"))
+                                   "proj_concat", "conj_pairs"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
                        batched_rolls: bool = False,
                        aux_bf16x3: bool | None = None,
                        tps_override: int | None = None,
-                       proj_concat: bool = True) -> jnp.ndarray:
+                       proj_concat: bool = True,
+                       conj_pairs: bool = True) -> jnp.ndarray:
     """BlockSpec-pipelined fused rows: ``[B, T] -> [B, n_rows, bands]``.
 
     Same math as v2; audio arrives as two shifted regular block inputs per
@@ -530,6 +553,26 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     # also run 3-pass bf16 by default when stage-2 does: same ~HIGH precision
     # at half the passes of the Mosaic HIGHEST fallback.
     aux3 = bf16x3 if aux_bf16x3 is None else (aux_bf16x3 and not interpret)
+    conj = conj_pairs and not batched_rolls
+    if conj:
+        # Conjugate-pair symmetry (real input): stage-1 runs residues 0..8
+        # only; each pair residue 16-r rides residue r's G through widened
+        # stage-2 weights [A_r | A_rc] / [B_r | -B_rc].  Exact up to the
+        # <=1-ulp difference between np.cos at theta and at 2*pi*a - theta
+        # (we use r's column for both).
+        n_res = _A // 2 + 1
+        c16 = np.ascontiguousarray(c16[:, :n_res])
+        s16 = np.ascontiguousarray(s16[:, :n_res])
+        nlan = t2a.shape[2]
+        t2a_p = np.zeros((n_res, t2a.shape[1], 2 * nlan), np.float32)
+        t2b_p = np.zeros_like(t2a_p)
+        for gi in range(n_res):
+            t2a_p[gi, :, :nlan] = t2a[gi]
+            t2b_p[gi, :, :nlan] = t2b[gi]
+            if 0 < gi < _A // 2:
+                t2a_p[gi, :, nlan:] = t2a[_A - gi]
+                t2b_p[gi, :, nlan:] = -t2b[_A - gi]
+        t2a, t2b = t2a_p, t2b_p
     if bf16x3:
         t2a = np.stack(_split_bf16(t2a))
         t2b = np.stack(_split_bf16(t2b))
@@ -590,7 +633,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      k_max=k_max, precision=_pallas_precision(config.precision),
                      fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk,
                      batched_rolls=batched_rolls, aux3=aux3,
-                     proj_concat=proj_concat)
+                     proj_concat=proj_concat, conj_pairs=conj)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

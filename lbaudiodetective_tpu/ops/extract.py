@@ -51,10 +51,32 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig,
     # LBAudioDetectiveFrame.m:165-191 is index-stable) with the sign class as
     # a payload.  Bit-identical to top_k(|x|) + take_along_axis, but avoids
     # the expensive TPU gather (~20% of extraction time).
+    n = flat.shape[-1]
+    try:
+        on_accel = jax.default_backend() != "cpu"
+    except Exception:
+        on_accel = False
+    if on_accel and n == 4096 and k <= 128:
+        # Pallas partial bitonic select: exact same order/ties as the sort
+        # path below (verified element-exact in tests), ~3x faster on TPU.
+        from lbaudiodetective_tpu.ops.pallas.select_signs import (
+            select_sign_classes)
+
+        lead = flat.shape[:-1]
+        f2 = flat.reshape(-1, n)
+        f_blk = 32
+        pad = (-f2.shape[0]) % f_blk
+        if pad:
+            f2 = jnp.pad(f2, ((0, pad), (0, 0)))
+        cls128 = select_sign_classes(f2, f_blk=f_blk)
+        if pad:
+            cls128 = cls128[:f2.shape[0] - pad]
+        topcls = cls128.reshape(*lead, 128)[..., :k]
+        return ((topcls == 1).astype(jnp.uint8),
+                (topcls == 2).astype(jnp.uint8))
     bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
     keys = ~(bits & jnp.uint32(0x7FFFFFFF))
     cls = ((flat > 0.0).astype(jnp.uint8) + 2 * (flat < 0.0).astype(jnp.uint8))
-    n = flat.shape[-1]
     nb = 8
     keep = min(n // nb if nb else n, ((max(k, 128) + 127) // 128) * 128)
     if nb and n % nb == 0 and n // nb >= keep >= k and n // nb >= 256:

@@ -251,7 +251,12 @@ def main():
 
     if "--trace" in sys.argv:
         # SURVEY §5 tracing: capture a perfetto-compatible device trace of
-        # one warm parity-extraction step under /tmp/lbad_trace.
+        # warm parity-extraction steps under /tmp/lbad_trace.  The persistent
+        # compilation cache keeps the second call's jit (a fresh closure)
+        # from recompiling inside the trace.
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/lbad_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         bench_extract(parity_cfg, batch=8, iters=1)          # warm/compile
         with profiling.trace_to("/tmp/lbad_trace"):
             bench_extract(parity_cfg, batch=8, iters=1)

@@ -60,17 +60,10 @@ def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig,
         # Pallas partial bitonic select: exact same order/ties as the sort
         # path below (verified element-exact in tests), ~3x faster on TPU.
         from lbaudiodetective_tpu.ops.pallas.select_signs import (
-            select_sign_classes)
+            select_sign_classes_padded)
 
         lead = flat.shape[:-1]
-        f2 = flat.reshape(-1, n)
-        f_blk = 32
-        pad = (-f2.shape[0]) % f_blk
-        if pad:
-            f2 = jnp.pad(f2, ((0, pad), (0, 0)))
-        cls128 = select_sign_classes(f2, f_blk=f_blk)
-        if pad:
-            cls128 = cls128[:f2.shape[0] - pad]
+        cls128 = select_sign_classes_padded(flat.reshape(-1, n))
         topcls = cls128.reshape(*lead, 128)[..., :k]
         return ((topcls == 1).astype(jnp.uint8),
                 (topcls == 2).astype(jnp.uint8))

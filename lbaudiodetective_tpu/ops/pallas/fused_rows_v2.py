@@ -333,7 +333,9 @@ def _rows_kernel_v3(*refs,
     # tps shallow per-tile dots (the fill cost of tiny M=16 matmuls dominated)
     # and each tile's P becomes a free major-axis slice.
     m_tot = (tps - 1) * adv_rows + qu
-    step_level = True
+    # batched_rolls selects the legacy per-tile path so the A/B scripts
+    # compare real alternatives (step-level is the shipped default).
+    step_level = not batched_rolls
     n_res = _A // 2 + 1 if conj_pairs else _A
     if step_level:
         stack_all = jnp.stack([full[a:a + m_tot, :] for a in range(_A)])
@@ -412,12 +414,17 @@ def _rows_kernel_v3(*refs,
         m1 = m_tot - 1
         sl_lane = jax.lax.broadcasted_iota(jnp.int32, (n_res, m1, _LANE), 2)
 
-        def sel_all(p3):                                   # [16r, m_tot, 128]
+        def sel_all(p3):                                   # [n_res, m_tot, 128]
             out = []
             for v in range(vper):
                 cut = hop * v
                 if cut == 0:
-                    out.append(p3[:, 0:m1, :])
+                    # v=0 needs no roll/select: keep the FULL m_tot rows.
+                    # The m1-row truncation below exists only because rolled
+                    # pieces read rows q and q+1; when hop == 128 (vper == 1,
+                    # qu == adv) the last tile needs row m_tot-1, which the
+                    # truncated form would clamp away.
+                    out.append(p3)
                 else:
                     rolled = pltpu.roll(p3, _LANE - cut, 2)
                     out.append(jnp.where(sl_lane < _LANE - cut,

@@ -64,7 +64,7 @@ def _ce(h, l, keep_max, d, lane):
     return jnp.where(take_self, h, ph), jnp.where(take_self, l, pl_)
 
 
-def _select_kernel(x_ref, out_ref, *, f_blk: int, k_pad: int):
+def _select_kernel(x_ref, out_ref, *, f_blk: int):
     rows = f_blk * 32
     x = x_ref[:].reshape(rows, _LANE)
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -111,7 +111,6 @@ def _select_kernel(x_ref, out_ref, *, f_blk: int, k_pad: int):
         # Bitonic cleanup of each surviving row, sorted toward the direction
         # needed by the NEXT pairing level (desc for s mod r < r/2; final
         # survivor: descending).
-        rows_r = f_blk * r
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (f_blk, r, _LANE), 2)
         if r > 1:
             s_mod = jax.lax.broadcasted_iota(jnp.int32, (f_blk, r, _LANE), 1) % r
@@ -130,10 +129,27 @@ def _select_kernel(x_ref, out_ref, *, f_blk: int, k_pad: int):
 
     top_h = h3[:, 0, :]                          # [f_blk, 128] desc-sorted
     top_l = l3[:, 0, :]
-    cls = jnp.where(top_h > 0,
+    # Class decode matches the XLA path exactly: NaN (abs bits above the inf
+    # pattern) classifies as 0 there ((x>0) and (x<0) both false), so exclude
+    # it here too; +/-inf keep their sign class in both paths.
+    valid = (top_h > 0) & (top_h <= jnp.int32(0x7F800000))
+    cls = jnp.where(valid,
                     jnp.where((top_l & 1) != 0, jnp.int32(1), jnp.int32(2)),
                     jnp.int32(0))
     out_ref[0] = cls
+
+
+def select_sign_classes_padded(coeffs: jnp.ndarray, f_blk: int = 32,
+                               interpret: bool = False) -> jnp.ndarray:
+    """``select_sign_classes`` for any frame count: zero-pads the frame axis
+    to a multiple of ``f_blk`` and trims the result (zero frames select all
+    class 0, so padding never leaks)."""
+    n = coeffs.shape[0]
+    pad = (-n) % f_blk
+    if pad:
+        coeffs = jnp.pad(coeffs, ((0, pad), (0, 0)))
+    out = select_sign_classes(coeffs, f_blk=f_blk, interpret=interpret)
+    return out[:n] if pad else out
 
 
 @partial(jax.jit, static_argnames=("f_blk", "interpret"))
@@ -151,7 +167,7 @@ def select_sign_classes(coeffs: jnp.ndarray, f_blk: int = 32,
     if n % f_blk:
         raise ValueError(f"frame count {n} not divisible by f_blk {f_blk}")
     x3 = coeffs.reshape(n // f_blk, f_blk * 32, _LANE)
-    kernel = partial(_select_kernel, f_blk=f_blk, k_pad=_LANE)
+    kernel = partial(_select_kernel, f_blk=f_blk)
     return pl.pallas_call(
         kernel,
         grid=(n // f_blk,),

@@ -63,21 +63,32 @@ def load_fingerprint(path: str, config: FingerprintConfig | None = None) -> Fing
                                        int(z["subfingerprint_length"]))
 
 
-def save_library(path: str, fps: list[Fingerprint], config: FingerprintConfig) -> None:
-    """Padded library DB: one file, ``[L, S_max, words]`` planes + counts."""
+def _padded_planes(fps: list[Fingerprint], l_pad: int | None = None
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int, int]:
+    """Pack a fingerprint list into padded ``[L, S_max, words]`` planes.
+
+    Returns (pos, neg, counts, pairs, s_max, words); ``l_pad`` pads the entry
+    axis (trailing entries have count 0 and never match)."""
     if not fps:
         raise ValueError("empty library")
     pairs = fps[0].pairs
     s_max = max(f.num_subfingerprints for f in fps)
     packed = [f.packed() for f in fps]
     words = packed[0][0].shape[-1] if s_max else (pairs + 31) // 32
-    pos = np.zeros((len(fps), s_max, words), np.uint32)
-    neg = np.zeros((len(fps), s_max, words), np.uint32)
-    counts = np.zeros(len(fps), np.int32)
+    l = l_pad if l_pad is not None else len(fps)
+    pos = np.zeros((l, s_max, words), np.uint32)
+    neg = np.zeros((l, s_max, words), np.uint32)
+    counts = np.zeros(l, np.int32)
     for i, (p, n) in enumerate(packed):
         counts[i] = p.shape[0]
         pos[i, :p.shape[0]] = p
         neg[i, :n.shape[0]] = n
+    return pos, neg, counts, pairs, int(s_max), int(words)
+
+
+def save_library(path: str, fps: list[Fingerprint], config: FingerprintConfig) -> None:
+    """Padded library DB: one file, ``[L, S_max, words]`` planes + counts."""
+    pos, neg, counts, pairs, _, _ = _padded_planes(fps)
     np.savez_compressed(path, version=np.int32(FORMAT_VERSION), pos=pos, neg=neg,
                         counts=counts, pairs=np.int32(pairs),
                         subfingerprint_length=np.int32(fps[0].subfingerprint_length),
@@ -115,25 +126,17 @@ def save_library_sharded(dir_path: str, fps: list[Fingerprint],
     """
     import os
 
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     if not fps:
         raise ValueError("empty library")
     os.makedirs(dir_path, exist_ok=True)
-    pairs = fps[0].pairs
-    s_max = max(f.num_subfingerprints for f in fps)
-    packed = [f.packed() for f in fps]
-    words = packed[0][0].shape[-1] if s_max else (pairs + 31) // 32
     per = -(-len(fps) // n_shards)
-    l_pad = per * n_shards
-    pos = np.zeros((l_pad, s_max, words), np.uint32)
-    neg = np.zeros((l_pad, s_max, words), np.uint32)
-    counts = np.zeros(l_pad, np.int32)
-    for i, (p, n) in enumerate(packed):
-        counts[i] = p.shape[0]
-        pos[i, :p.shape[0]] = p
-        neg[i, :n.shape[0]] = n
+    pos, neg, counts, pairs, s_max, words = _padded_planes(
+        fps, l_pad=per * n_shards)
     manifest = {
         "version": FORMAT_VERSION, "n_shards": n_shards, "entries": len(fps),
-        "entries_per_shard": per, "s_max": int(s_max), "words": int(words),
+        "entries_per_shard": per, "s_max": s_max, "words": words,
         "pairs": int(pairs),
         "subfingerprint_length": int(fps[0].subfingerprint_length),
         "params_hash": config_params_hash(config),

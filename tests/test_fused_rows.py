@@ -27,6 +27,49 @@ def test_fused_rows_matches_xla(hop_domain, integer_hop):
                                atol=1e-6 * float(np.abs(exp).max()))
 
 
+def _xla_coeffs(cfg, audio, n_rows):
+    from lbaudiodetective_tpu.ops.haar import haar_2d
+
+    starts = spectral.window_starts(cfg, n_rows)
+    wins = spectral.frame_windows(audio, starts, cfg.window_size)
+    rows = spectral.band_energies(wins, cfg)
+    b = audio.shape[0]
+    return np.asarray(haar_2d(rows.reshape(b, n_rows // 128, 128, 32),
+                              precision=cfg.precision)).reshape(b, n_rows, 32)
+
+
+@pytest.mark.parametrize("stride_cfg,n_rows", [
+    (dict(), 256),                                      # parity hop 8
+    (dict(hop_domain="proc"), 256),                     # deployment hop 64
+    (dict(hop_domain="proc", analysis_stride=128), 256),  # hop 128, vper=1
+])
+def test_v3_kernel_matches_xla(stride_cfg, n_rows):
+    """CI coverage of the SHIPPED v3 path (step-level stage-1, conjugate
+    pairs, proj_concat, fused Haar) in interpret mode, including the
+    hop == 128 geometry where qu == adv (the v=0 slice must not clamp)."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+
+    cfg = FingerprintConfig(**stride_cfg)
+    hop = cfg.hop_in_processing_samples
+    if not (cfg.has_integer_hop and 128 % int(hop) == 0
+            and cfg.rows_per_frame % (128 // int(hop)) == 0):
+        pytest.skip("geometry not eligible for v3")
+    t_pad = required_padded_length(cfg, n_rows)
+    rng = np.random.default_rng(51)
+    audio = jnp.asarray((np.cumsum(rng.standard_normal((2, t_pad)), axis=1)
+                         * 0.01).astype(np.float32))
+    got = np.asarray(fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                        fuse_haar=True))
+    exp = _xla_coeffs(cfg, audio, n_rows)
+    scale = float(np.abs(exp).max())
+    np.testing.assert_allclose(got, exp, rtol=5e-4, atol=3e-6 * scale)
+    # conj_pairs must be exactly the same arithmetic re-association
+    no_conj = np.asarray(fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                            fuse_haar=True, conj_pairs=False))
+    np.testing.assert_allclose(got, no_conj, rtol=1e-6,
+                               atol=1e-7 * scale)
+
+
 def test_fused_rows_span_alignment():
     """The DMA span must be sublane-aligned (multiple of 8 rows) — a
     non-multiple span hard-faults the TPU DMA engine (scripts/bisect_dma.py)."""

@@ -7,7 +7,8 @@ NSNumber-sort behaviour, LBAudioDetectiveFrame.m:165-191)."""
 import numpy as np
 import jax.numpy as jnp
 
-from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
+from lbaudiodetective_tpu.ops.pallas.select_signs import (
+    select_sign_classes, select_sign_classes_padded)
 
 
 def _ref_cls(flat, k=128):
@@ -50,9 +51,23 @@ def test_all_zero_and_few_values():
 
 
 def test_padding_path():
-    # Frame count not divisible by f_blk exercises the extract-side padding.
+    # 36 frames with f_blk=8 forces a 4-frame zero pad; trailing frames must
+    # come back untouched and un-truncated.
     rng = np.random.default_rng(3)
+    x = rng.standard_normal((36, 4096)).astype(np.float32)
+    got = np.asarray(select_sign_classes_padded(jnp.asarray(x), f_blk=8,
+                                                interpret=True))
+    assert got.shape == (36, 128)
+    np.testing.assert_array_equal(got, _ref_cls(x))
+
+
+def test_nan_and_inf_classes_match_xla_path():
+    # NaN classifies as 0 in the XLA path ((x>0) and (x<0) both false) and
+    # must here too; +/-inf keep their sign class.
+    rng = np.random.default_rng(4)
     x = rng.standard_normal((32, 4096)).astype(np.float32)
-    got = np.asarray(select_sign_classes(jnp.asarray(x), f_blk=8,
-                                         interpret=True))
+    x[:, 7] = np.nan
+    x[:, 11] = np.inf
+    x[:, 13] = -np.inf
+    got = np.asarray(select_sign_classes(jnp.asarray(x), interpret=True))
     np.testing.assert_array_equal(got, _ref_cls(x))

@@ -1,0 +1,162 @@
+"""Command-line interface: ``python -m lbaudiodetective_tpu <cmd> ...``.
+
+The reference ships as an iOS library driven by a test app; the essay's
+workflow is enroll-then-identify against a server DB (PDF §3.2.5).  This CLI
+exposes that workflow on top of the library APIs:
+
+  fingerprint <clip>                      print the fingerprint string form
+  compare <clip1> <clip2>                 print the match score
+  enroll <dir> -o lib.npz                 build a library from a directory
+  identify <clip> --library lib.npz       best match + per-track scores
+  serve --library lib.npz --names ...     run the HTTP identification edge
+
+Audio: CAF (IMA4/LPCM) and WAV.  Library files are the
+utils.serialize format (parameter-hash guarded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def _detective():
+    from lbaudiodetective_tpu.models.detective import AudioDetective
+
+    return AudioDetective()
+
+
+def _extract(path: str):
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.io.decode import decode_audio_file
+    from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+
+    cfg = FingerprintConfig()
+    d = decode_audio_file(path)
+    pos, neg, n = extract_fingerprint(d, cfg)
+    return Fingerprint.from_planes(pos[:n], neg[:n]), cfg
+
+
+def _audio_files(directory: str) -> list[pathlib.Path]:
+    exts = {".caf", ".wav"}
+    return sorted(p for p in pathlib.Path(directory).iterdir()
+                  if p.suffix.lower() in exts)
+
+
+def cmd_fingerprint(args) -> int:
+    fp, _ = _extract(args.clip)
+    print(fp.to_string())
+    return 0
+
+
+def cmd_compare(args) -> int:
+    det = _detective()
+    score = det.compare_audio_files(args.clip1, args.clip2)
+    print(f"{score:.4f}")
+    return 0
+
+
+def cmd_enroll(args) -> int:
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+
+    files = _audio_files(args.directory)
+    if not files:
+        print(f"no .caf/.wav files in {args.directory}", file=sys.stderr)
+        return 2
+    fps, names = [], []
+    cfg = None
+    for f in files:
+        fp, cfg = _extract(str(f))
+        fps.append(fp)
+        names.append(f.stem)
+        print(f"enrolled {f.stem}: {fp.num_subfingerprints} subfingerprints",
+              file=sys.stderr)
+    lib = FingerprintLibrary.from_fingerprints(fps, cfg)
+    lib.save(args.output)
+    pathlib.Path(args.output).with_suffix(".names.json").write_text(
+        json.dumps(names))
+    print(f"wrote {args.output} ({len(fps)} tracks)", file=sys.stderr)
+    return 0
+
+
+def _load_library(path: str):
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+
+    lib = FingerprintLibrary.load(path)
+    names_file = pathlib.Path(path).with_suffix(".names.json")
+    if names_file.exists():
+        names = json.loads(names_file.read_text())
+    else:
+        names = [f"track_{i}" for i in range(len(lib))]
+    return lib, names
+
+
+def cmd_identify(args) -> int:
+    import numpy as np
+
+    lib, names = _load_library(args.library)
+    fp, _ = _extract(args.clip)
+    scores = np.asarray(lib.match(fp))
+    best = int(scores.argmax())
+    out = {"track": names[best], "score": round(float(scores[best]), 4)}
+    if args.all_scores:
+        out["scores"] = {n: round(float(s), 4) for n, s in zip(names, scores)}
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from lbaudiodetective_tpu.serving import (IdentificationService,
+                                              serve_forever)
+
+    lib, names = _load_library(args.library)
+    service = IdentificationService(lib, names)
+    print(f"serving {len(names)} tracks on {args.host}:{args.port}",
+          file=sys.stderr)
+    serve_forever(service, host=args.host, port=args.port)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lbaudiodetective_tpu",
+                                description=__doc__.split("\n", 1)[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("fingerprint", help="print a clip's fingerprint string")
+    f.add_argument("clip")
+    f.set_defaults(fn=cmd_fingerprint)
+
+    c = sub.add_parser("compare", help="match score between two clips")
+    c.add_argument("clip1")
+    c.add_argument("clip2")
+    c.set_defaults(fn=cmd_compare)
+
+    e = sub.add_parser("enroll", help="build a library from a directory")
+    e.add_argument("directory")
+    e.add_argument("-o", "--output", required=True)
+    e.set_defaults(fn=cmd_enroll)
+
+    i = sub.add_parser("identify", help="identify a clip against a library")
+    i.add_argument("clip")
+    i.add_argument("--library", required=True)
+    i.add_argument("--all-scores", action="store_true")
+    i.set_defaults(fn=cmd_identify)
+
+    s = sub.add_parser("serve", help="run the HTTP identification server")
+    s.add_argument("--library", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8414)
+    s.set_defaults(fn=cmd_serve)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

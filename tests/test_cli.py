@@ -1,0 +1,46 @@
+"""CLI smoke tests (enroll -> identify -> compare -> fingerprint) on real
+corpus clips, exercising the essay's enroll/identify workflow end to end."""
+
+import json
+import pathlib
+import shutil
+
+import pytest
+
+from lbaudiodetective_tpu.__main__ import main
+
+BIRDS_DIR = pathlib.Path("/root/reference/LBAudioDetectiveTests/Birds")
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clips")
+    for b in ("BlackBird", "Wren"):
+        shutil.copy(BIRDS_DIR / "Archive" / f"{b}.caf", d / f"{b}.caf")
+    return d
+
+
+def test_enroll_identify(tiny_corpus, tmp_path, capsys):
+    lib = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(tiny_corpus), "-o", lib]) == 0
+    crop = str(BIRDS_DIR / "Cropped/Equal" / "BlackBird_eql.caf")
+    assert main(["identify", crop, "--library", lib, "--all-scores"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["track"] == "BlackBird"
+    assert out["score"] > 0.9
+    assert set(out["scores"]) == {"BlackBird", "Wren"}
+
+
+def test_compare_and_fingerprint(capsys):
+    a = str(BIRDS_DIR / "Archive" / "Wren.caf")
+    b = str(BIRDS_DIR / "Cropped/Equal" / "Wren_eql.caf")
+    assert main(["compare", a, b]) == 0
+    score = float(capsys.readouterr().out.strip())
+    assert score > 0.9
+    assert main(["fingerprint", a]) == 0
+    s = capsys.readouterr().out.strip()
+    assert set(s) <= {"0", "1", "+"} and len(s) > 100
+
+
+def test_enroll_empty_dir(tmp_path):
+    assert main(["enroll", str(tmp_path), "-o", str(tmp_path / "x.npz")]) == 2

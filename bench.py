@@ -200,15 +200,24 @@ def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
     """BASELINE config 4: concurrent stream throughput (real-time factor)."""
     from lbaudiodetective_tpu.streaming.runtime import StreamingExtractor
 
-    ext = StreamingExtractor(batch=n_streams, chunk_size=chunk, config=config)
+    # collect_host=False: steps pipeline (device state chains them); the
+    # single harvest at the end forces completion — honest wall time without
+    # a blocking host round-trip per chunk.
+    ext = StreamingExtractor(batch=n_streams, chunk_size=chunk, config=config,
+                             collect_host=False)
     rng = np.random.default_rng(2)
-    chunks = (rng.standard_normal((steps, n_streams, chunk)) * 0.1).astype(np.float32)
+    # int16 PCM ingest (the reference's recording format): half the
+    # host->device bytes — the tunnelled dev link is the streaming bottleneck.
+    chunks = (rng.standard_normal((steps, n_streams, chunk))
+              * 3276.8).astype(np.int16)
     for w in range(min(6, steps)):  # warm past frame emission (compiles)
-        ext.feed(chunks[w])
+        ext.feed_pcm16(chunks[w])
+    ext.harvest()
     ext.reset()
     t0 = time.perf_counter()
     for s in range(steps):
-        ext.feed(chunks[s])
+        ext.feed_pcm16(chunks[s])
+    ext.harvest()               # fetch forces full pipeline completion
     dt = time.perf_counter() - t0
     audio_seconds = steps * chunk / config.processing_sample_rate * n_streams
     return audio_seconds / dt, n_streams

@@ -39,6 +39,19 @@ from lbaudiodetective_tpu.ops.extract import subfingerprints_from_rows
 _ROWS_RING = 256  # power of two >= 2 * rows_per_frame
 
 
+@partial(jax.jit, static_argnames=("config", "chunk_size"))
+def _aligned_step(lin_buf, chunk, config: FingerprintConfig, chunk_size: int):
+    """Frame-aligned streaming step: buffer shift + one-frame extraction in a
+    single compiled program (one relay dispatch per feed)."""
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint_padded
+
+    new_buf = jnp.concatenate([lin_buf[:, chunk_size:], chunk], axis=1)
+    pos, neg = extract_fingerprint_padded(
+        new_buf, jnp.ones((new_buf.shape[0],), jnp.int32), config,
+        config.rows_per_frame)
+    return new_buf, pos, neg
+
+
 @partial(jax.jit, static_argnames=("config", "r_max", "f_max", "l_buf"))
 def _stream_step(audio_ring, rows_ring, chunk, write_pos,
                  row_starts, row_valid, row_slots,
@@ -98,6 +111,11 @@ class StreamingExtractor:
     #: the whole pipeline stays sharded with no collectives.
     mesh: object = None
     mesh_axis: str = "data"
+    #: When False, :meth:`feed` returns DEVICE arrays without a host sync —
+    #: steps pipeline (device state chains them in order) and callers fetch
+    #: results when needed (:meth:`harvest`, or np.asarray on the returns).
+    #: The default preserves the NumPy-returning API.
+    collect_host: bool = True
 
     def __post_init__(self):
         cfg = self.config
@@ -153,10 +171,24 @@ class StreamingExtractor:
         """Absolute window start of row r — same float64 floor as the oracle."""
         return int(np.floor(np.float64(r) * np.float64(self.hop)))
 
-    def feed(self, chunk: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-        """Feed ``[B, chunk_size]`` samples; returns (pos, neg, n_completed)
-        where pos/neg are ``[B, n_completed, pairs]`` for frames completed in
-        this step."""
+    def feed_pcm16(self, chunk_i16: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Feed ``[B, chunk_size]`` int16 PCM samples (the reference's
+        recording format, LBAudioDetective.h:135) — converted to float on
+        DEVICE, so the host->device transfer is half the bytes of
+        :meth:`feed`.  The tunnelled dev link makes streaming ingest
+        transfer-bound, so this is the preferred ingest path."""
+        if chunk_i16.dtype != np.int16:
+            raise ValueError("feed_pcm16 requires int16 samples")
+        import jax.numpy as jnp
+
+        dev = jnp.asarray(chunk_i16)
+        return self.feed(dev.astype(jnp.float32) * jnp.float32(1.0 / 32768.0))
+
+    def feed(self, chunk) -> tuple[np.ndarray, np.ndarray, int]:
+        """Feed ``[B, chunk_size]`` float samples (NumPy or device array);
+        returns (pos, neg, n_completed) where pos/neg are
+        ``[B, n_completed, pairs]`` for frames completed in this step."""
         cfg = self.config
         if chunk.shape != (self.batch, self.chunk_size):
             raise ValueError(f"chunk must be [{self.batch}, {self.chunk_size}]")
@@ -202,43 +234,55 @@ class StreamingExtractor:
         self.total_samples = new_total
         self.rows_done = r_end
         n_completed = int(frame_valid.sum())
-        pos = np.asarray(pos)[:, :n_completed]
-        neg = np.asarray(neg)[:, :n_completed]
+        pos = pos[:, :n_completed]
+        neg = neg[:, :n_completed]
+        if self.collect_host:
+            pos = np.asarray(pos)
+            neg = np.asarray(neg)
         if n_completed:
             self.collected.append((pos, neg))
         return pos, neg, n_completed
 
-    def _feed_aligned(self, chunk: np.ndarray, new_total: int):
+    def _feed_aligned(self, chunk, new_total: int):
         """Frame-aligned step: shift the linear buffer and, once enough
         samples exist, run the standard batched extractor on it (one frame =
-        one subfingerprint per stream per step)."""
+        one subfingerprint per stream per step).  Shift + extract fuse into
+        ONE jitted call — each separate device op is a separate relay
+        round-trip on the tunnelled dev backend."""
         import jax.numpy as jnp
 
-        from lbaudiodetective_tpu.ops.extract import extract_fingerprint_padded
-
         cfg = self.config
-        self.lin_buf = jnp.concatenate(
-            [self.lin_buf[:, self.chunk_size:],
-             self._shard(jnp.asarray(chunk, jnp.float32))], axis=1)
+        dev_chunk = self._shard(jnp.asarray(chunk, jnp.float32))
         self.total_samples = new_total
         steps_done = new_total // self.chunk_size
         frame = steps_done - self.lag          # frame index completed this step
         frames_emitted = self.rows_done // cfg.rows_per_frame
         pairs = cfg.num_wavelet_pairs
         if frame < frames_emitted or frame < 0:  # warmup: not enough audio yet
+            self.lin_buf = jnp.concatenate(
+                [self.lin_buf[:, self.chunk_size:], dev_chunk], axis=1)
             return (np.zeros((self.batch, 0, pairs), np.uint8),
                     np.zeros((self.batch, 0, pairs), np.uint8), 0)
-        pos, neg = extract_fingerprint_padded(
-            self.lin_buf, jnp.ones((self.batch,), jnp.int32), cfg,
-            cfg.rows_per_frame)
+        self.lin_buf, pos, neg = _aligned_step(
+            self.lin_buf, dev_chunk, cfg, self.chunk_size)
         self.rows_done = (frame + 1) * cfg.rows_per_frame
-        pos = np.asarray(pos)
-        neg = np.asarray(neg)
+        if self.collect_host:
+            pos = np.asarray(pos)
+            neg = np.asarray(neg)
         self.collected.append((pos, neg))
         return pos, neg, 1
 
+    def harvest(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Fetch all collected subfingerprints to host (syncs the device
+        pipeline; with ``collect_host=False`` this is the one blocking
+        point)."""
+        self.collected = [(np.asarray(p), np.asarray(n))
+                          for p, n in self.collected]
+        return self.collected
+
     def fingerprints(self) -> list[Fingerprint]:
         """One Fingerprint per stream from all collected subfingerprints."""
+        self.harvest()
         if not self.collected:
             pairs = self.config.num_wavelet_pairs
             empty = np.zeros((0, pairs), np.uint8)

@@ -106,3 +106,25 @@ def test_streaming_sharded_over_data_axis():
     assert all(a == b_ for a, b_ in zip(fp_a, fp_b))
     shardings = {str(d) for d in sharded.audio_ring.devices()}
     assert len(shardings) == 8, "stream state not spread over the mesh"
+
+
+def test_feed_pcm16_matches_float_feed():
+    """int16 PCM ingest must produce identical bits to float feed of the
+    same samples (device-side conversion is exact: i16/32768 in f32)."""
+    import numpy as np
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.streaming.runtime import StreamingExtractor
+
+    cfg = FingerprintConfig()
+    rng = np.random.default_rng(9)
+    chunk = cfg.rows_per_frame * int(cfg.hop_in_processing_samples)
+    i16 = (rng.standard_normal((2, 6, chunk)) * 3276.8).astype(np.int16)
+    f32 = i16.astype(np.float32) / 32768.0
+
+    a = StreamingExtractor(batch=2, chunk_size=chunk, config=cfg)
+    b = StreamingExtractor(batch=2, chunk_size=chunk, config=cfg)
+    for s in range(6):
+        a.feed(f32[:, s])
+        b.feed_pcm16(i16[:, s])
+    fa, fb = a.fingerprints(), b.fingerprints()
+    assert fa == fb

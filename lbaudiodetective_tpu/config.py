@@ -70,9 +70,12 @@ class FingerprintConfig:
     #: stride, so the spectral stage maps onto strided convolutions on the
     #: MXU.  Set False for the drift-faithful oracle mode.
     integer_hop: bool = True
-    #: TPU MXU f32 contraction passes: "default" (1 bf16 pass, fast but
-    #: perturbs the |coeff| ranking), "high" (3 passes, ~f32 — sufficient for
-    #: bit parity with the float64 oracle), "highest" (6 passes).
+    #: TPU MXU f32 contraction passes: "default" (1 bf16 pass, ~83% oracle
+    #: bit parity), "medium" (2 passes — full-precision operand vs bf16
+    #: weights, measured ~94.8% bit parity, rows kernel ~25% faster than
+    #: "high"), "high" (3 passes, 99.92% bit parity — the validated
+    #: default), "highest" (6 Mosaic passes).  Only "high" is validated for
+    #: corpus identification (TPU_PARITY_r02.md).
     matmul_precision: str = "high"
 
     def __post_init__(self):
@@ -85,7 +88,7 @@ class FingerprintConfig:
             raise ValueError("subfingerprint_length must be even (bits are sign pairs)")
         if self.hop_domain not in ("file", "proc"):
             raise ValueError(f"hop_domain must be 'file' or 'proc', got {self.hop_domain!r}")
-        if self.matmul_precision not in ("default", "high", "highest"):
+        if self.matmul_precision not in ("default", "medium", "high", "highest"):
             raise ValueError(f"invalid matmul_precision {self.matmul_precision!r}")
 
     # ------------------------------------------------------------------ #
@@ -126,6 +129,7 @@ class FingerprintConfig:
         import jax
 
         return {"default": jax.lax.Precision.DEFAULT,
+                "medium": jax.lax.Precision.HIGH,
                 "high": jax.lax.Precision.HIGH,
                 "highest": jax.lax.Precision.HIGHEST}[self.matmul_precision]
 

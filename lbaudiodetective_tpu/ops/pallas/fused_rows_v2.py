@@ -296,7 +296,8 @@ def _rows_kernel_v3(*refs,
                     adv_rows: int, inv_div: float, k_max: int, precision,
                     fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int,
                     batched_rolls: bool = False, aux3: bool = False,
-                    proj_concat: bool = False, conj_pairs: bool = False):
+                    proj_concat: bool = False, conj_pairs: bool = False,
+                    two_pass: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
      perm_ref, hcols_ref, out_ref) = refs[n_blk:]
@@ -319,6 +320,9 @@ def _rows_kernel_v3(*refs,
                 return jax.lax.dot_general(
                     a, b, dn, preferred_element_type=jnp.float32)
 
+            if two_pass:
+                return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[0], sl),
+                        dg(c16_im_ref[0], sh) + dg(c16_im_ref[0], sl))
             return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[1], sh)
                     + dg(c16_re_ref[0], sl),
                     dg(c16_im_ref[0], sh) + dg(c16_im_ref[1], sh)
@@ -398,6 +402,11 @@ def _rows_kernel_v3(*refs,
         g_hi = g.astype(jnp.bfloat16)
         g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         t0 = t_ref[0, r] if wid is None else t_ref[0, r, :, :wid]
+        if two_pass:
+            # "medium": full-precision operand vs bf16 weights — drops the
+            # weight low-bits pass (error ~2^-9 relative, from weights only).
+            return (jnp.dot(g_hi, t0, preferred_element_type=jnp.float32)
+                    + jnp.dot(g_lo, t0, preferred_element_type=jnp.float32))
         t1 = t_ref[1, r] if wid is None else t_ref[1, r, :, :wid]
         return (jnp.dot(g_hi, t0, preferred_element_type=jnp.float32)
                 + jnp.dot(g_hi, t1, preferred_element_type=jnp.float32)
@@ -449,8 +458,10 @@ def _rows_kernel_v3(*refs,
         if aux3:
             vh, vl = split3(v)
             contrib = (jnp.dot(vh, proj_ref[0, r], preferred_element_type=jnp.float32)
-                       + jnp.dot(vh, proj_ref[1, r], preferred_element_type=jnp.float32)
                        + jnp.dot(vl, proj_ref[0, r], preferred_element_type=jnp.float32))
+            if not two_pass:
+                contrib = contrib + jnp.dot(vh, proj_ref[1, r],
+                                            preferred_element_type=jnp.float32)
         else:
             contrib = jnp.dot(v, proj_ref[r], precision=hi,
                               preferred_element_type=jnp.float32)
@@ -490,8 +501,10 @@ def _rows_kernel_v3(*refs,
         if aux3:
             vh, vl = split3(v_cat)
             rows_acc = (jnp.dot(vh, proj_ref[0], preferred_element_type=jnp.float32)
-                        + jnp.dot(vh, proj_ref[1], preferred_element_type=jnp.float32)
                         + jnp.dot(vl, proj_ref[0], preferred_element_type=jnp.float32))
+            if not two_pass:
+                rows_acc = rows_acc + jnp.dot(vh, proj_ref[1],
+                                              preferred_element_type=jnp.float32)
         else:
             rows_acc = jnp.dot(v_cat, proj_ref[:], precision=hi,
                                preferred_element_type=jnp.float32)
@@ -502,9 +515,12 @@ def _rows_kernel_v3(*refs,
     def unperm(acc_k):
         if aux3:
             ah, al = split3(acc_k)
-            return (jnp.dot(perm_ref[0], ah, preferred_element_type=jnp.float32)
-                    + jnp.dot(perm_ref[1], ah, preferred_element_type=jnp.float32)
-                    + jnp.dot(perm_ref[0], al, preferred_element_type=jnp.float32))
+            out_k = (jnp.dot(perm_ref[0], ah, preferred_element_type=jnp.float32)
+                     + jnp.dot(perm_ref[0], al, preferred_element_type=jnp.float32))
+            if not two_pass:
+                out_k = out_k + jnp.dot(perm_ref[1], ah,
+                                        preferred_element_type=jnp.float32)
+            return out_k
         return jnp.dot(perm_ref[:], acc_k, precision=hi,
                        preferred_element_type=jnp.float32)
 
@@ -514,8 +530,10 @@ def _rows_kernel_v3(*refs,
         if aux3:
             oh, ol = split3(out)
             out = (jnp.dot(oh, hcols_ref[0], preferred_element_type=jnp.float32)
-                   + jnp.dot(oh, hcols_ref[1], preferred_element_type=jnp.float32)
                    + jnp.dot(ol, hcols_ref[0], preferred_element_type=jnp.float32))
+            if not two_pass:
+                out = out + jnp.dot(oh, hcols_ref[1],
+                                    preferred_element_type=jnp.float32)
         else:
             out = jnp.dot(out, hcols_ref[:], precision=hi,
                           preferred_element_type=jnp.float32)
@@ -555,7 +573,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     c16, s16, t2a, t2b, proj_perm, k_max, perm, h_cols_t = _v2_constants(
         config, fuse_haar)
     bands = config.pitch_step_count
-    bf16x3 = (config.matmul_precision == "high") and not interpret
+    bf16x3 = (config.matmul_precision in ("high", "medium")) and not interpret
+    two_pass = config.matmul_precision == "medium" and not interpret
     # Auxiliary matmuls (stage-1, projection, un-permutation, column Haar)
     # also run 3-pass bf16 by default when stage-2 does: same ~HIGH precision
     # at half the passes of the Mosaic HIGHEST fallback.
@@ -640,7 +659,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      k_max=k_max, precision=_pallas_precision(config.precision),
                      fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk,
                      batched_rolls=batched_rolls, aux3=aux3,
-                     proj_concat=proj_concat, conj_pairs=conj)
+                     proj_concat=proj_concat, conj_pairs=conj,
+                     two_pass=two_pass)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

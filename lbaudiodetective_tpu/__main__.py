@@ -29,15 +29,8 @@ def _detective():
 
 
 def _extract(path: str):
-    from lbaudiodetective_tpu.config import FingerprintConfig
-    from lbaudiodetective_tpu.io.decode import decode_audio_file
-    from lbaudiodetective_tpu.models.fingerprint import Fingerprint
-    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
-
-    cfg = FingerprintConfig()
-    d = decode_audio_file(path)
-    pos, neg, n = extract_fingerprint(d, cfg)
-    return Fingerprint.from_planes(pos[:n], neg[:n]), cfg
+    det = _detective()
+    return det.process_audio_file(path), det.config
 
 
 def _audio_files(directory: str) -> list[pathlib.Path]:
@@ -66,15 +59,13 @@ def cmd_enroll(args) -> int:
     if not files:
         print(f"no .caf/.wav files in {args.directory}", file=sys.stderr)
         return 2
-    fps, names = [], []
-    cfg = None
-    for f in files:
-        fp, cfg = _extract(str(f))
-        fps.append(fp)
-        names.append(f.stem)
+    det = _detective()
+    fps = det.process_batch([str(f) for f in files])  # one padded dispatch
+    names = [f.stem for f in files]
+    for f, fp in zip(files, fps):
         print(f"enrolled {f.stem}: {fp.num_subfingerprints} subfingerprints",
               file=sys.stderr)
-    lib = FingerprintLibrary.from_fingerprints(fps, cfg)
+    lib = FingerprintLibrary.from_fingerprints(fps, det.config)
     lib.save(args.output)
     pathlib.Path(args.output).with_suffix(".names.json").write_text(
         json.dumps(names))
@@ -83,12 +74,20 @@ def cmd_enroll(args) -> int:
 
 
 def _load_library(path: str):
+    from lbaudiodetective_tpu.config import FingerprintConfig
     from lbaudiodetective_tpu.models.library import FingerprintLibrary
 
-    lib = FingerprintLibrary.load(path)
+    # Passing the config arms the parameter-hash guard: a library enrolled
+    # under different parameters refuses to load instead of silently
+    # producing meaningless scores.
+    lib = FingerprintLibrary.load(path, FingerprintConfig())
     names_file = pathlib.Path(path).with_suffix(".names.json")
     if names_file.exists():
         names = json.loads(names_file.read_text())
+        if len(names) != len(lib):
+            raise SystemExit(
+                f"{names_file} has {len(names)} names for {len(lib)} tracks"
+                " — stale sidecar?")
     else:
         names = [f"track_{i}" for i in range(len(lib))]
     return lib, names

@@ -39,12 +39,21 @@ from lbaudiodetective_tpu.ops.extract import subfingerprints_from_rows
 _ROWS_RING = 256  # power of two >= 2 * rows_per_frame
 
 
+def _to_f32(chunk):
+    """float passthrough; int16 PCM scales by 1/32768 (exact in f32)."""
+    if chunk.dtype == jnp.int16:
+        return chunk.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return chunk.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("config", "chunk_size"))
 def _aligned_step(lin_buf, chunk, config: FingerprintConfig, chunk_size: int):
     """Frame-aligned streaming step: buffer shift + one-frame extraction in a
-    single compiled program (one relay dispatch per feed)."""
+    single compiled program (one relay dispatch per feed).  int16 PCM chunks
+    convert to float here, on device."""
     from lbaudiodetective_tpu.ops.extract import extract_fingerprint_padded
 
+    chunk = _to_f32(chunk)
     new_buf = jnp.concatenate([lin_buf[:, chunk_size:], chunk], axis=1)
     pos, neg = extract_fingerprint_padded(
         new_buf, jnp.ones((new_buf.shape[0],), jnp.int32), config,
@@ -68,6 +77,7 @@ def _stream_step(audio_ring, rows_ring, chunk, write_pos,
     """
     b, c = chunk.shape
     window = config.window_size
+    chunk = _to_f32(chunk)            # int16 PCM converts on device, in-jit
 
     # 1) Write the chunk into the audio ring.
     pos = (write_pos + jnp.arange(c, dtype=jnp.int32)) % l_buf
@@ -182,8 +192,10 @@ class StreamingExtractor:
             raise ValueError("feed_pcm16 requires int16 samples")
         import jax.numpy as jnp
 
-        dev = jnp.asarray(chunk_i16)
-        return self.feed(dev.astype(jnp.float32) * jnp.float32(1.0 / 32768.0))
+        # Ship the int16 bytes as-is; conversion happens INSIDE the jitted
+        # step (dtype is part of the jit signature), so no extra eager device
+        # ops ride the tunnel.
+        return self.feed(jnp.asarray(chunk_i16))
 
     def feed(self, chunk) -> tuple[np.ndarray, np.ndarray, int]:
         """Feed ``[B, chunk_size]`` float samples (NumPy or device array);
@@ -225,7 +237,7 @@ class StreamingExtractor:
 
         self.audio_ring, self.rows_ring, pos, neg = _stream_step(
             self.audio_ring, self.rows_ring,
-            self._shard(jnp.asarray(chunk, jnp.float32)),
+            self._shard(jnp.asarray(chunk)),
             jnp.int32(self.total_samples % self.l_buf),
             jnp.asarray(row_starts), jnp.asarray(row_valid), jnp.asarray(row_slots),
             jnp.asarray(frame_first), jnp.asarray(frame_valid),
@@ -252,7 +264,7 @@ class StreamingExtractor:
         import jax.numpy as jnp
 
         cfg = self.config
-        dev_chunk = self._shard(jnp.asarray(chunk, jnp.float32))
+        dev_chunk = self._shard(jnp.asarray(chunk))
         self.total_samples = new_total
         steps_done = new_total // self.chunk_size
         frame = steps_done - self.lag          # frame index completed this step
@@ -260,7 +272,7 @@ class StreamingExtractor:
         pairs = cfg.num_wavelet_pairs
         if frame < frames_emitted or frame < 0:  # warmup: not enough audio yet
             self.lin_buf = jnp.concatenate(
-                [self.lin_buf[:, self.chunk_size:], dev_chunk], axis=1)
+                [self.lin_buf[:, self.chunk_size:], _to_f32(dev_chunk)], axis=1)
             return (np.zeros((self.batch, 0, pairs), np.uint8),
                     np.zeros((self.batch, 0, pairs), np.uint8), 0)
         self.lin_buf, pos, neg = _aligned_step(

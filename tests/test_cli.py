@@ -2,14 +2,12 @@
 corpus clips, exercising the essay's enroll/identify workflow end to end."""
 
 import json
-import pathlib
 import shutil
 
 import pytest
 
 from lbaudiodetective_tpu.__main__ import main
-
-BIRDS_DIR = pathlib.Path("/root/reference/LBAudioDetectiveTests/Birds")
+from tests.conftest import CORPUS as BIRDS_DIR
 
 
 @pytest.fixture(scope="module")

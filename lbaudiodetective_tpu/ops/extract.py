@@ -150,8 +150,22 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
         from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import (
             fused_band_rows_v2, fused_band_rows_v3)
 
-        fn = fused_band_rows_v3 if impl == "fused_v3" else fused_band_rows_v2
         batched = audio if audio.ndim == 2 else audio[None]
+        k = config.num_wavelet_pairs
+        if (impl == "fused_v3" and config.rows_per_frame == 128
+                and config.pitch_step_count == 32 and k <= 128):
+            # Fully fused: the kernel emits rank-ordered sign classes
+            # directly (coefficients never leave VMEM).  Element-exact vs
+            # the separate select kernel / XLA sort path (tests).
+            cls = fused_band_rows_v3(batched, config, n_rows, fuse_haar=True,
+                                     fuse_select=True)       # [B, n_tiles, 128]
+            topcls = cls[..., :k] if audio.ndim == 2 else cls[0][..., :k]
+            pos = (topcls == 1).astype(jnp.uint8)
+            neg = (topcls == 2).astype(jnp.uint8)
+            n_sub = n_rows // config.rows_per_frame
+            valid = (jnp.arange(n_sub) < n_valid_sub[..., None]).astype(jnp.uint8)
+            return pos * valid[..., None], neg * valid[..., None]
+        fn = fused_band_rows_v3 if impl == "fused_v3" else fused_band_rows_v2
         rows = fn(batched, config, n_rows, fuse_haar=True)
         rows = rows if audio.ndim == 2 else rows[0]
         rows_are_coeffs = True

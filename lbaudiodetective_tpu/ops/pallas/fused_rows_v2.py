@@ -297,7 +297,7 @@ def _rows_kernel_v3(*refs,
                     fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int,
                     batched_rolls: bool = False, aux3: bool = False,
                     proj_concat: bool = False, conj_pairs: bool = False,
-                    two_pass: bool = False):
+                    two_pass: bool = False, fuse_select: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
      perm_ref, hcols_ref, out_ref) = refs[n_blk:]
@@ -444,7 +444,9 @@ def _rows_kernel_v3(*refs,
         sel_re = sel_all(p_re_all)
         sel_im = sel_all(p_im_all)
 
-    rows_acc = jnp.zeros((tps * rows, out_ref.shape[-1]), jnp.float32)
+    # Width from the projection constants (out_ref may be the fused-select
+    # cls output, whose lanes are not the band axis).
+    rows_acc = jnp.zeros((tps * rows, proj_ref.shape[-1]), jnp.float32)
     v_by_r = {}
 
     def emit(r, v):
@@ -537,12 +539,24 @@ def _rows_kernel_v3(*refs,
         else:
             out = jnp.dot(out, hcols_ref[:], precision=hi,
                           preferred_element_type=jnp.float32)
+    if fuse_select:
+        # In-kernel top-k sign selection: transpose each frame's [128, 32]
+        # Haar tile to the select layout ([32 bands, 128 rows] = band-major,
+        # handled by _select_body's flat-index formula) and emit rank-ordered
+        # class codes directly — the coefficient tensor never leaves VMEM.
+        from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
+
+        t_frames = jnp.concatenate(
+            [jnp.transpose(out[k * rows:(k + 1) * rows, :], (1, 0))
+             for k in range(tps)], axis=0)              # [tps*32, 128]
+        out_ref[0] = _select_body(t_frames, tps, band_major=True)
+        return
     out_ref[0] = out
 
 
 @partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar",
                                    "batched_rolls", "aux_bf16x3", "tps_override",
-                                   "proj_concat", "conj_pairs"))
+                                   "proj_concat", "conj_pairs", "fuse_select"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
@@ -550,7 +564,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        aux_bf16x3: bool | None = None,
                        tps_override: int | None = None,
                        proj_concat: bool = True,
-                       conj_pairs: bool = True) -> jnp.ndarray:
+                       conj_pairs: bool = True,
+                       fuse_select: bool = False) -> jnp.ndarray:
     """BlockSpec-pipelined fused rows: ``[B, T] -> [B, n_rows, bands]``.
 
     Same math as v2; audio arrives as two shifted regular block inputs per
@@ -646,12 +661,22 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                             lambda b, t, k=k: (b, t + k, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    if fuse_select:
+        if not fuse_haar or rpf != 128 or bands != 32:
+            raise ValueError("fuse_select requires fuse_haar with the "
+                             "128-row / 32-band frame geometry")
+        out_specs = pl.BlockSpec((1, tps, _LANE), lambda b, t: (b, t, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((batch, n_tiles, _LANE), jnp.int32)
+    else:
+        out_specs = pl.BlockSpec((1, tps * rpf, bands), lambda b, t: (b, t, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((batch, n_rows, bands), jnp.float32)
     grid_spec = pl.GridSpec(
         grid=(batch, n_steps),
         in_specs=[blk_spec(k) for k in range(n_blk)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
-        out_specs=pl.BlockSpec((1, tps * rpf, bands), lambda b, t: (b, t, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     kernel = partial(_rows_kernel_v3, span_rows=span_rows, window=window,
                      rows=rpf, hop=hop, adv_rows=adv_rows,
@@ -660,11 +685,11 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk,
                      batched_rolls=batched_rolls, aux3=aux3,
                      proj_concat=proj_concat, conj_pairs=conj,
-                     two_pass=two_pass)
+                     two_pass=two_pass, fuse_select=fuse_select)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, n_rows, bands), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

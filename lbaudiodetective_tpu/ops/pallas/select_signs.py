@@ -64,14 +64,19 @@ def _ce(h, l, keep_max, d, lane):
     return jnp.where(take_self, h, ph), jnp.where(take_self, l, pl_)
 
 
-def _select_kernel(x_ref, out_ref, *, f_blk: int):
+def _select_body(x, f_blk: int, band_major: bool = False):
+    """Top-128 rank-ordered class codes for ``f_blk`` frames.
+
+    ``x``: [f_blk*32, 128] f32 — each frame a [32, 128] tile.  With
+    ``band_major`` the tile layout is (band, row) — the transposed form the
+    fused rows kernel produces — and the tie-break flat index is computed as
+    row*32+band so the order is IDENTICAL to the row-major path."""
     rows = f_blk * 32
-    x = x_ref[:].reshape(rows, _LANE)
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     hi = bits & jnp.int32(0x7FFFFFFF)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANE), 0) % 32
-    flat = sub * _LANE + lane
+    flat = lane * 32 + sub if band_major else sub * _LANE + lane
     ispos = ((bits >> 31) == 0) & (hi > 0)
     lo = ((jnp.int32(4095) - flat) << 1) | ispos.astype(jnp.int32)
 
@@ -133,10 +138,13 @@ def _select_kernel(x_ref, out_ref, *, f_blk: int):
     # pattern) classifies as 0 there ((x>0) and (x<0) both false), so exclude
     # it here too; +/-inf keep their sign class in both paths.
     valid = (top_h > 0) & (top_h <= jnp.int32(0x7F800000))
-    cls = jnp.where(valid,
-                    jnp.where((top_l & 1) != 0, jnp.int32(1), jnp.int32(2)),
-                    jnp.int32(0))
-    out_ref[0] = cls
+    return jnp.where(valid,
+                     jnp.where((top_l & 1) != 0, jnp.int32(1), jnp.int32(2)),
+                     jnp.int32(0))
+
+
+def _select_kernel(x_ref, out_ref, *, f_blk: int):
+    out_ref[0] = _select_body(x_ref[:].reshape(f_blk * 32, _LANE), f_blk)
 
 
 def select_sign_classes_padded(coeffs: jnp.ndarray, f_blk: int = 32,

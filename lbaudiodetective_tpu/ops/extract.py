@@ -152,8 +152,18 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
 
         batched = audio if audio.ndim == 2 else audio[None]
         k = config.num_wavelet_pairs
+        from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import v3_tiles_per_step
+
+        n_tiles = n_rows // config.rows_per_frame
+        multi_step = n_tiles // v3_tiles_per_step(n_tiles) > 1
         if (impl == "fused_v3" and config.rows_per_frame == 128
-                and config.pitch_step_count == 32 and k <= 128):
+                and config.pitch_step_count == 32 and k <= 128
+                and multi_step):
+            # fuse_select wins only on multi-step-per-clip grids (parity
+            # hop): with one grid step per clip (proc hop, short clips) the
+            # in-kernel select serialises against the same step's matmuls
+            # with nothing to overlap it — measured 15.3k vs 17.4k clips/s
+            # proc.  Single-step grids take the two-stage path below.
             # Fully fused: the kernel emits rank-ordered sign classes
             # directly (coefficients never leave VMEM).  Element-exact vs
             # the separate select kernel / XLA sort path (tests).

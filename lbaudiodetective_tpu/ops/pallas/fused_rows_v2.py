@@ -554,6 +554,11 @@ def _rows_kernel_v3(*refs,
     out_ref[0] = out
 
 
+def v3_tiles_per_step(n_tiles: int) -> int:
+    """The tps the v3 wrapper will pick for a given tile count."""
+    return next(t for t in (8, 4, 2, 1) if n_tiles % t == 0)
+
+
 @partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar",
                                    "batched_rolls", "aux_bf16x3", "tps_override",
                                    "proj_concat", "conj_pairs", "fuse_select"))
@@ -635,7 +640,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         # Tiles per grid step: the dominant cost is per-step pipeline
         # machinery (see scripts/bisect_v3_cost.py 'floor' variant), so
         # fatter steps win while VMEM allows; 8 beats 4 beats 16 measured.
-        tps = next(t for t in (8, 4, 2, 1) if n_tiles % t == 0)
+        tps = v3_tiles_per_step(n_tiles)
     n_steps = n_tiles // tps
 
     adv_rows = (rpf * hop) // _LANE                     # rows per tile advance

@@ -40,7 +40,8 @@ def _timed(fn, iters: int):
     cost, so iteration counts must be >= 20 for steady-state numbers.
     """
     carry = jnp.float32(0.0)
-    _, carry = fn(carry)         # warm / compile
+    for _ in range(3):           # warm / compile (first run is consistently
+        _, carry = fn(carry)     # slow until the relay stream settles)
     float(np.asarray(carry))
     carry = jnp.float32(0.0)
     t0 = time.perf_counter()

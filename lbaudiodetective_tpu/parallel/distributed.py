@@ -7,9 +7,13 @@ a failed slice re-joins via the coordinator and reloads its library shard
 from the checkpoint format (utils.serialize.save_library/load_library), so
 the matching service restarts per-slice without refingerprinting.
 
-This module is exercised only in single-process form in CI (no pod here);
-the collective code paths it feeds (parallel.sharded / parallel.dedup) are
-validated on the virtual CPU mesh.
+CI exercises the REAL multi-process path on one machine
+(tests/test_distributed.py::test_two_process_library_sharded_match): two
+processes join a coordinator with gloo CPU collectives, mmap-reload their
+own checkpoint shards, and the cross-process library-sharded matcher must
+reproduce single-process scores exactly.  The collective code paths it
+feeds (parallel.sharded / parallel.dedup) are additionally validated on
+the virtual CPU mesh.
 """
 
 from __future__ import annotations

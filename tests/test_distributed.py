@@ -1,6 +1,8 @@
 """Multihost init wrapper + restart/re-join flow, in mocked single-process
 form (no pod in CI; the collectives it feeds are tested on the CPU mesh)."""
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -73,3 +75,76 @@ def test_rejoin_reloads_shard_and_scores_match(tmp_path, monkeypatch):
 
     np.testing.assert_array_equal(before, after)
     assert after[1] == pytest.approx(1.0)       # self-match inside the shard
+
+
+def test_two_process_library_sharded_match(tmp_path):
+    """REAL multihost mechanics on one machine: two separate processes join
+    a coordinator (gloo CPU collectives), each mmap-reloads its own shards
+    of the sharded checkpoint, and the cross-process library-sharded matcher
+    must reproduce single-process scores exactly."""
+    import socket
+    import subprocess
+    import sys
+
+    from lbaudiodetective_tpu.ops.match import match_one_vs_many_padded
+    from lbaudiodetective_tpu.utils.serialize import save_library_sharded
+
+    rng = np.random.default_rng(123)
+    cfg = FingerprintConfig()
+    fps = []
+    for _ in range(14):
+        cls = rng.choice(3, size=(12, cfg.num_wavelet_pairs))
+        fps.append(Fingerprint.from_planes(
+            (cls == 1).astype(np.uint8), (cls == 2).astype(np.uint8)))
+    libdir = str(tmp_path / "libdb")
+    save_library_sharded(libdir, fps, cfg, n_shards=4)   # 1 shard/device
+
+    qp, qn = fps[5].pos, fps[5].neg
+    query_npz = str(tmp_path / "query.npz")
+    np.savez(query_npz, pos=qp, neg=qn, n=fps[5].num_subfingerprints)
+
+    with socket.socket() as s:                            # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    import os
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p for p in (env.get("PYTHONPATH", ""), repo) if p])
+    procs, outs = [], []
+    for pid in range(2):
+        out = str(tmp_path / f"out{pid}.npz")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(pathlib.Path(__file__).parent / "_dist_worker.py"),
+             str(port), str(pid), "2", libdir, query_npz, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
+
+    got = np.full(16, np.nan)                             # 4 shards x 4 pad
+    for out in outs:
+        z = np.load(out)
+        got[z["idx"]] = z["scores"]
+    assert not np.isnan(got).any()
+
+    # Single-process reference over the same padded library.
+    s_max = max(f.num_subfingerprints for f in fps)
+    pos = np.zeros((16, s_max, cfg.num_wavelet_pairs), np.uint8)
+    neg = np.zeros_like(pos)
+    counts = np.zeros(16, np.int32)
+    for i, f in enumerate(fps):
+        p_, n_ = f.pos, f.neg
+        counts[i] = f.num_subfingerprints
+        pos[i, :p_.shape[0]] = p_
+        neg[i, :n_.shape[0]] = n_
+    ref = np.asarray(match_one_vs_many_padded(
+        qp, qn, np.int32(fps[5].num_subfingerprints),
+        pos, neg, counts, 0, cfg.subfingerprint_length))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert got[5] == pytest.approx(1.0)                   # self-match

@@ -82,8 +82,28 @@ def main():
         arr = np.asarray(sh.data)
         idx.extend(range(lo, lo + arr.shape[0]))
         vals.extend(arr.tolist())
+
+    # Ring all-pairs across the PROCESS boundary: query blocks rotate around
+    # the 4-device mesh via lax.ppermute (two of the hops cross processes
+    # over gloo).  Every valid entry must self-match at ~1 on the diagonal.
+    from lbaudiodetective_tpu.parallel.sharded import ring_all_pairs_scores
+
+    ring = ring_all_pairs_scores(lib_pos, lib_neg, lib_cnt, mesh)
+    jax.block_until_ready(ring)
+    row0 = 2 * pid * man["entries_per_shard"]    # this process's first row
+    diag_checked = 0
+    for sh in ring.addressable_shards:
+        lo = sh.index[0].start or 0
+        arr = np.asarray(sh.data)                # [rows, L] global columns
+        for i in range(arr.shape[0]):
+            g = lo + i
+            if local_cnt[g - row0] > 0:
+                assert abs(float(arr[i, g]) - 1.0) < 1e-5, \
+                    f"ring self-match {float(arr[i, g])} at {g}"
+                diag_checked += 1
+    assert diag_checked > 0, "no valid diagonal entries checked"
     np.savez(out_npz, idx=np.asarray(idx), scores=np.asarray(vals))
-    print(f"pid{pid} OK {len(vals)} scores", flush=True)
+    print(f"pid{pid} OK {len(vals)} scores, ring diag x{diag_checked}", flush=True)
 
 
 if __name__ == "__main__":

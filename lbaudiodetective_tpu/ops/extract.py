@@ -150,35 +150,38 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
         from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import (
             fused_band_rows_v2, fused_band_rows_v3)
 
+        from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import (
+            v3_tiles_per_step)
+
         batched = audio if audio.ndim == 2 else audio[None]
         k = config.num_wavelet_pairs
-        from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import v3_tiles_per_step
-
         n_tiles = n_rows // config.rows_per_frame
         multi_step = n_tiles // v3_tiles_per_step(n_tiles) > 1
         if (impl == "fused_v3" and config.rows_per_frame == 128
                 and config.pitch_step_count == 32 and k <= 128
                 and multi_step):
-            # fuse_select wins only on multi-step-per-clip grids (parity
-            # hop): with one grid step per clip (proc hop, short clips) the
-            # in-kernel select serialises against the same step's matmuls
-            # with nothing to overlap it — measured 15.3k vs 17.4k clips/s
-            # proc.  Single-step grids take the two-stage path below.
             # Fully fused: the kernel emits rank-ordered sign classes
-            # directly (coefficients never leave VMEM).  Element-exact vs
-            # the separate select kernel / XLA sort path (tests).
+            # directly (coefficients never leave VMEM); element-exact vs the
+            # two-stage path (tests/test_fused_rows.py).  Gated to
+            # multi-step-per-clip grids: with one grid step per clip (proc
+            # hop, short clips) the in-kernel select serialises against the
+            # same step's matmuls with nothing to overlap it — measured
+            # 15.3k vs 17.4k clips/s proc — so single-step grids use the
+            # standalone select kernel via subfingerprints_from_rows.
             cls = fused_band_rows_v3(batched, config, n_rows, fuse_haar=True,
                                      fuse_select=True)       # [B, n_tiles, 128]
             topcls = cls[..., :k] if audio.ndim == 2 else cls[0][..., :k]
             pos = (topcls == 1).astype(jnp.uint8)
             neg = (topcls == 2).astype(jnp.uint8)
-            n_sub = n_rows // config.rows_per_frame
-            valid = (jnp.arange(n_sub) < n_valid_sub[..., None]).astype(jnp.uint8)
-            return pos * valid[..., None], neg * valid[..., None]
-        fn = fused_band_rows_v3 if impl == "fused_v3" else fused_band_rows_v2
-        rows = fn(batched, config, n_rows, fuse_haar=True)
-        rows = rows if audio.ndim == 2 else rows[0]
-        rows_are_coeffs = True
+        else:
+            fn = fused_band_rows_v3 if impl == "fused_v3" else fused_band_rows_v2
+            rows = fn(batched, config, n_rows, fuse_haar=True)
+            rows = rows if audio.ndim == 2 else rows[0]
+            pos, neg = subfingerprints_from_rows(rows, config,
+                                                rows_are_coeffs=True)
+        n_sub = n_rows // config.rows_per_frame
+        valid = (jnp.arange(n_sub) < n_valid_sub[..., None]).astype(jnp.uint8)
+        return pos * valid[..., None], neg * valid[..., None]
     elif impl == "fused" and audio.ndim in (1, 2):
         from lbaudiodetective_tpu.ops.pallas.fused_rows import fused_band_rows
 

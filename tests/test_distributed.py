@@ -115,15 +115,21 @@ def test_two_process_library_sharded_match(tmp_path):
     env["PYTHONPATH"] = os.pathsep.join(
         [p for p in (env.get("PYTHONPATH", ""), repo) if p])
     procs, outs = [], []
-    for pid in range(2):
-        out = str(tmp_path / f"out{pid}.npz")
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, str(pathlib.Path(__file__).parent / "_dist_worker.py"),
-             str(port), str(pid), "2", libdir, query_npz, out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True))
-    logs = [p.communicate(timeout=240)[0] for p in procs]
+    try:
+        for pid in range(2):
+            out = str(tmp_path / f"out{pid}.npz")
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable,
+                 str(pathlib.Path(__file__).parent / "_dist_worker.py"),
+                 str(port), str(pid), "2", libdir, query_npz, out],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        logs = [p.communicate(timeout=240)[0] for p in procs]
+    finally:
+        for p in procs:                  # no orphans if rendezvous hangs
+            if p.poll() is None:
+                p.kill()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-2000:]}"
 

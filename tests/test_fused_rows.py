@@ -83,3 +83,27 @@ def test_fused_rows_span_alignment():
     span = int(np.max((tile_last - base_row * 128 + cfg.window_size) // 128)) + 2
     span = -(-span // 8) * 8
     assert span % 8 == 0
+
+
+def test_v3_fuse_select_matches_two_stage():
+    """The in-kernel select (fuse_select, band-major tie-break index) must be
+    element-exact vs the standalone select kernel over the same coefficients
+    — this is the default TPU extraction path for multi-step grids."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+    from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
+
+    cfg = FingerprintConfig()
+    n_rows = 16 * 128
+    t_pad = required_padded_length(cfg, n_rows)
+    rng = np.random.default_rng(52)
+    audio = jnp.asarray((np.cumsum(rng.standard_normal((2, t_pad)), axis=1)
+                         * 0.01).astype(np.float32))
+    coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                fuse_haar=True)
+    cls_two = np.asarray(select_sign_classes(
+        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)), f_blk=8,
+        interpret=True))
+    cls_fused = np.asarray(fused_band_rows_v3(
+        audio, cfg, n_rows, interpret=True, fuse_haar=True,
+        fuse_select=True)).reshape(-1, 128)
+    np.testing.assert_array_equal(cls_fused, cls_two)

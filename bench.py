@@ -254,7 +254,14 @@ def main():
     from lbaudiodetective_tpu.utils import profiling
 
     timers = profiling.StageTimers()
-    details = {"device": str(jax.devices()[0]), "jax": jax.__version__}
+    # Merge into the existing artifact so fields produced by optional modes
+    # (--packed-64k / --million-track) survive runs that skip those modes.
+    try:
+        with open("bench_details.json") as f:
+            details = json.load(f)
+    except Exception:
+        details = {}
+    details.update({"device": str(jax.devices()[0]), "jax": jax.__version__})
 
     parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
     proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected

@@ -309,11 +309,12 @@ def main():
     # Matchers: pinned config, THREE consecutive runs recorded (the target
     # must hold across runs, not on a lucky one).
     lib = 2048 if quick else 16384
-    runs, runs_packed = [], []
+    runs, runs_sub, runs_packed = [], [], []
     for _ in range(1 if quick else 3):
         with timers.stage("match_matmul"):
             pair_cps, sub_cps, dt_m = bench_match(parity_cfg, library_size=lib)
         runs.append(pair_cps)
+        runs_sub.append(sub_cps)
         try:
             with timers.stage("match_packed"):
                 packed_cps, _ = bench_match_packed(parity_cfg, library_size=lib)
@@ -322,7 +323,7 @@ def main():
             details["match_packed_error"] = str(e)[:200]
     details["match_pair_compares_per_sec"] = min(runs)
     details["match_pair_compares_runs"] = runs
-    details["match_subfingerprint_compares_per_sec"] = sub_cps
+    details["match_subfingerprint_compares_per_sec"] = min(runs_sub)
     details["match_library_size"] = lib
     if runs_packed:
         details["match_packed_pair_compares_per_sec"] = min(runs_packed)

@@ -10,7 +10,7 @@ exposes that workflow on top of the library APIs:
   identify <clip> --library lib.npz       best match + per-track scores
   serve --library lib.npz --names ...     run the HTTP identification edge
 
-Audio: CAF (IMA4/LPCM) and WAV.  Library files are the
+Audio: CAF (IMA4/LPCM), WAV, and AIFF/AIFF-C.  Library files are the
 utils.serialize format (parameter-hash guarded).
 """
 
@@ -34,7 +34,7 @@ def _extract(path: str):
 
 
 def _audio_files(directory: str) -> list[pathlib.Path]:
-    exts = {".caf", ".wav"}
+    exts = {".caf", ".wav", ".aiff", ".aif", ".aifc"}
     return sorted(p for p in pathlib.Path(directory).iterdir()
                   if p.suffix.lower() in exts)
 
@@ -66,10 +66,14 @@ def cmd_enroll(args) -> int:
         print(f"enrolled {f.stem}: {fp.num_subfingerprints} subfingerprints",
               file=sys.stderr)
     lib = FingerprintLibrary.from_fingerprints(fps, det.config)
-    lib.save(args.output)
-    pathlib.Path(args.output).with_suffix(".names.json").write_text(
+    # np.savez appends '.npz' when missing: normalise first so the .names.json
+    # sidecar sits next to the file actually written and `identify --library`
+    # finds it under the same name the user passed + '.npz'.
+    out_path = args.output if args.output.endswith(".npz") else args.output + ".npz"
+    lib.save(out_path)
+    pathlib.Path(out_path).with_suffix(".names.json").write_text(
         json.dumps(names))
-    print(f"wrote {args.output} ({len(fps)} tracks)", file=sys.stderr)
+    print(f"wrote {out_path} ({len(fps)} tracks)", file=sys.stderr)
     return 0
 
 

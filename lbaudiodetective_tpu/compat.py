@@ -28,7 +28,8 @@ from lbaudiodetective_tpu.config import (
 )
 from lbaudiodetective_tpu.errors import InvalidArgumentError
 from lbaudiodetective_tpu.models.detective import AudioDetective
-from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.models.fingerprint import (
+    Fingerprint, FingerprintBuilder, compare_subfingerprint_booleans)
 from lbaudiodetective_tpu.ops.match import match_fingerprints
 
 # Constants (LBAudioDetective.m:20-26)
@@ -116,6 +117,61 @@ def LBAudioDetectiveCompareAudioURLs(d: AudioDetective, url1: str, url2: str,
 
 
 # -- fingerprint container (LBAudioDetectiveFingerprint.h) ------------------
+# Builder path (LBAudioDetectiveFingerprint.h:27,35,98,108): the reference
+# test harness constructs fingerprints incrementally through New /
+# SetSubfingerprintLength / AddSubfingerprint; here that surface returns a
+# mutable FingerprintBuilder exposing the same read API as the immutable
+# Fingerprint, so every container function below accepts either.
+
+def LBAudioDetectiveFingerprintNew(subfingerprint_length: int = 0) -> FingerprintBuilder:
+    """LBAudioDetectiveFingerprint.m:18-26 (the reference zero-initialises and
+    stores the passed length verbatim, including 0 — ProcessAudioURL passes 0
+    and sets the real length before the first append)."""
+    return FingerprintBuilder(subfingerprint_length)
+
+
+def LBAudioDetectiveFingerprintDispose(fp) -> None:
+    """NULL-tolerant like the reference (Fingerprint.m:28-31)."""
+    if fp is None:
+        return
+    if isinstance(fp, FingerprintBuilder):
+        fp.clear()
+
+
+def LBAudioDetectiveFingerprintSetSubfingerprintLength(
+        fp: FingerprintBuilder, subfingerprint_length: int) -> tuple[bool, int]:
+    """Returns ``(accepted, effective_length)``: refused (False, locked
+    length) once any subfingerprint was added — the C version rewrites the
+    in/out pointer to the locked value (Fingerprint.m:81-89)."""
+    if not isinstance(fp, FingerprintBuilder):
+        raise InvalidArgumentError(
+            "SetSubfingerprintLength requires a builder fingerprint "
+            "(LBAudioDetectiveFingerprintNew); extracted Fingerprints are "
+            "immutable value types")
+    return fp.set_subfingerprint_length(subfingerprint_length)
+
+
+def LBAudioDetectiveFingerprintAddSubfingerprint(
+        fp: FingerprintBuilder, subfingerprint: np.ndarray) -> None:
+    """Appends a copy of the first ``subfingerprint_length`` booleans
+    (Fingerprint.m:91-100; quirk Q1 truncation of the 2x extraction buffer)."""
+    if not isinstance(fp, FingerprintBuilder):
+        raise InvalidArgumentError(
+            "AddSubfingerprint requires a builder fingerprint "
+            "(LBAudioDetectiveFingerprintNew)")
+    fp.add_subfingerprint(subfingerprint)
+
+
+def LBAudioDetectiveFingerprintCompareSubfingerprints(
+        fp, subfingerprint1: np.ndarray, subfingerprint2: np.ndarray,
+        comparison_range: int) -> float:
+    """Quirk-Q10 similarity of two raw interleaved boolean buffers; ``fp``
+    contributes only its subfingerprint length cap
+    (LBAudioDetectiveFingerprint.m:151-176, h:147)."""
+    return compare_subfingerprint_booleans(
+        subfingerprint1, subfingerprint2, comparison_range,
+        fp.subfingerprint_length)
+
 
 def LBAudioDetectiveFingerprintCopy(fp: Fingerprint) -> Fingerprint:
     return fp.copy()

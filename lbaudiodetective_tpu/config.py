@@ -76,6 +76,13 @@ class FingerprintConfig:
     #: "high"), "high" (3 passes, 99.92% bit parity — the validated
     #: default), "highest" (6 Mosaic passes).  Only "high" is validated for
     #: corpus identification (TPU_PARITY_r02.md).
+    #:
+    #: Scope note: "medium" is a *Pallas v3 kernel* mode only.  The
+    #: :attr:`precision` property maps it to ``jax.lax.Precision.HIGH`` so
+    #: every non-kernel contraction (conv/XLA fallback paths, CPU backend,
+    #: the oracle-facing matmuls) runs at full HIGH precision — on those
+    #: paths "medium" behaves exactly like "high"; the documented ~94.8%
+    #: bit parity applies only where the v3 kernel is selected.
     matmul_precision: str = "high"
 
     def __post_init__(self):
@@ -132,6 +139,37 @@ class FingerprintConfig:
                 "medium": jax.lax.Precision.HIGH,
                 "high": jax.lax.Precision.HIGH,
                 "highest": jax.lax.Precision.HIGHEST}[self.matmul_precision]
+
+    @property
+    def identification_validated(self) -> bool:
+        """True when this precision tier reproduces the CPU-golden corpus
+        identification matrices on the TPU kernels (TPU_PARITY_r02/r03.md):
+        only the >=3-pass tiers do; "default" and "medium" shift scores by
+        enough to flip identified counts on the knife-edge suites."""
+        return self.matmul_precision in ("high", "highest")
+
+    def warn_if_unvalidated_for_identification(self, backend: str | None = None
+                                               ) -> None:
+        """Loud once-per-config warning when an identification entry point
+        runs at a precision whose corpus identification diverges from the
+        goldens (VERDICT r2: nothing previously *prevented* an identify path
+        from running at a divergent precision).  CPU backends are exempt:
+        there every tier maps to full f32 contractions (see
+        :attr:`matmul_precision` scope note)."""
+        if self.identification_validated:
+            return
+        import warnings
+
+        import jax
+
+        if (backend or jax.default_backend()) == "cpu":
+            return
+        warnings.warn(
+            f"matmul_precision={self.matmul_precision!r} is NOT validated for "
+            "corpus identification on accelerator kernels (identified counts "
+            "diverge from the CPU goldens — see TPU_PARITY_r02.md); use "
+            "matmul_precision='high' when identification results must "
+            "reproduce the calibration", stacklevel=3)
 
     def num_rows(self, file_frames: int, proc_frames: int) -> int:
         """Spectrogram row count (``imageWidth``, LBAudioDetective.m:250).

@@ -48,6 +48,10 @@ def _read_file(path: str) -> tuple[np.ndarray, float]:
         from lbaudiodetective_tpu.io.wav import read_wav
 
         return read_wav(path)
+    if magic == b"FORM":
+        from lbaudiodetective_tpu.io.aiff import read_aiff
+
+        return read_aiff(path)
     try:
         from lbaudiodetective_tpu.io.native import binding as native
     except Exception:

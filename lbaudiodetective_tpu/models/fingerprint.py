@@ -118,3 +118,121 @@ class Fingerprint:
 
         return match_fingerprints((self.pos, self.neg), (other.pos, other.neg),
                                   comparison_range, self.subfingerprint_length)
+
+
+class FingerprintBuilder:
+    """Mutable reference-style incremental fingerprint builder.
+
+    Mirrors the builder half of the reference container
+    (LBAudioDetectiveFingerprintNew/SetSubfingerprintLength/AddSubfingerprint,
+    LBAudioDetectiveFingerprint.m:18-26,81-100): subfingerprints are appended
+    as interleaved boolean buffers; the length is settable only while the
+    container is empty; each append copies exactly ``subfingerprint_length``
+    booleans from the input buffer (so passing the 2x extraction buffer keeps
+    only its first half — quirk Q1).  Exposes the same read surface as the
+    immutable :class:`Fingerprint` (``pos``/``neg`` planes, booleans, string
+    form) so every container-level compat function accepts either;
+    :meth:`freeze` snapshots into the immutable value type.
+    """
+
+    def __init__(self, subfingerprint_length: int = 200):
+        self._length = int(subfingerprint_length)
+        self._subs: list[np.ndarray] = []       # interleaved {0,1} uint8 rows
+
+    # -- builder surface ----------------------------------------------------
+
+    @property
+    def subfingerprint_length(self) -> int:
+        return self._length
+
+    def set_subfingerprint_length(self, length: int) -> tuple[bool, int]:
+        """Returns ``(accepted, effective_length)``: the length is locked once
+        any subfingerprint has been added (Fingerprint.m:81-89, where the
+        in/out pointer is rewritten to the locked value on refusal)."""
+        if self._subs:
+            return False, self._length
+        self._length = int(length)
+        return True, self._length
+
+    def add_subfingerprint(self, booleans: np.ndarray) -> None:
+        """Append a subfingerprint, copying the first ``subfingerprint_length``
+        booleans (zero-padded if the input is shorter, as the reference's
+        calloc+memcpy of a short buffer would leave trailing zeros)."""
+        buf = np.asarray(booleans).astype(bool).astype(np.uint8).ravel()
+        row = np.zeros(self._length, np.uint8)
+        n = min(self._length, buf.shape[0])
+        row[:n] = buf[:n]
+        self._subs.append(row)
+
+    def clear(self) -> None:
+        self._subs.clear()
+
+    # -- Fingerprint-compatible read surface --------------------------------
+
+    @property
+    def num_subfingerprints(self) -> int:
+        return len(self._subs)
+
+    @property
+    def pairs(self) -> int:
+        return (self._length + 1) // 2
+
+    @property
+    def pos(self) -> np.ndarray:
+        out = np.zeros((len(self._subs), self.pairs), np.uint8)
+        for i, row in enumerate(self._subs):
+            out[i, : (self._length + 1) // 2] = row[0::2]
+        return out
+
+    @property
+    def neg(self) -> np.ndarray:
+        out = np.zeros((len(self._subs), self.pairs), np.uint8)
+        for i, row in enumerate(self._subs):
+            out[i, : self._length // 2] = row[1::2]
+        return out
+
+    def subfingerprint_booleans(self, index: int) -> np.ndarray:
+        return self._subs[index].copy()
+
+    def freeze(self) -> Fingerprint:
+        return Fingerprint(self.pos, self.neg, self._length)
+
+    def copy(self) -> "FingerprintBuilder":
+        dup = FingerprintBuilder(self._length)
+        dup._subs = [row.copy() for row in self._subs]
+        return dup
+
+    def to_string(self) -> str:
+        return self.freeze().to_string()
+
+    def compare(self, other, comparison_range: int = 0) -> float:
+        return self.freeze().compare(
+            other.freeze() if isinstance(other, FingerprintBuilder) else other,
+            comparison_range)
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, (FingerprintBuilder, Fingerprint)):
+            return self.freeze() == (
+                other.freeze() if isinstance(other, FingerprintBuilder) else other)
+        return NotImplemented
+
+
+def compare_subfingerprint_booleans(sub1: np.ndarray, sub2: np.ndarray,
+                                    comparison_range: int,
+                                    subfingerprint_length: int) -> float:
+    """Quirk-Q10 similarity of two raw interleaved boolean buffers
+    (LBAudioDetectiveFingerprintCompareSubfingerprints,
+    LBAudioDetectiveFingerprint.m:151-176): bit-pairs where ``sub1`` is
+    non-zero count as possible hits; exact 2-bit equality counts a hit;
+    returns hits/possibleHits, 0 when no possible hits."""
+    s1 = np.asarray(sub1).astype(bool).ravel()
+    s2 = np.asarray(sub2).astype(bool).ravel()
+    n = min(int(comparison_range), int(subfingerprint_length),
+            s1.shape[0], s2.shape[0])
+    n -= n % 2                     # only complete bit-pairs participate
+    p1, q1 = s1[0:n:2], s1[1:n:2]
+    p2, q2 = s2[0:n:2], s2[1:n:2]
+    possible = p1 | q1
+    hits = possible & (p1 == p2) & (q1 == q2)
+    np_possible = int(possible.sum())
+    return float(hits.sum()) / np_possible if np_possible else 0.0

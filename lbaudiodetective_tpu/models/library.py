@@ -65,6 +65,7 @@ class FingerprintLibrary:
         [chunk, S, Sq] hit tensor stays bounded — a 1M-track library (2.1 GB
         packed) searches on a single chip.
         """
+        self.config.warn_if_unvalidated_for_identification()
         s = int(self.pos_words.shape[1])
         n = min(query.num_subfingerprints, s)
         qp = np.zeros((s, query.pairs), np.uint8)

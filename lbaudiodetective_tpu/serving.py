@@ -47,10 +47,14 @@ class IdentificationService:
         self.library = library
         self.names = list(names)
         self.config = config or FingerprintConfig()
+        # Serving is an identification edge: refuse silence about precision
+        # tiers whose identified counts diverge from the corpus goldens.
+        self.config.warn_if_unvalidated_for_identification()
         self._lock = threading.Lock()
 
     def _fingerprint_bytes(self, payload: bytes) -> Fingerprint:
-        suffix = ".caf" if payload[:4] == b"caff" else ".wav"
+        suffix = (".caf" if payload[:4] == b"caff"
+                  else ".aiff" if payload[:4] == b"FORM" else ".wav")
         with tempfile.NamedTemporaryFile(suffix=suffix) as f:
             f.write(payload)
             f.flush()

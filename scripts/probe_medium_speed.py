@@ -27,8 +27,8 @@ float(np.asarray(c))
 print(f"rows medium B=128: {(time.perf_counter()-t0)/30*1e3:.2f} ms/step", flush=True)
 
 z = np.load("/root/repo/tests/_cache/decoded_4297bbef_BlackBird.npz")
-d = DecodedAudio(samples=z["samples"], file_frames=int(z["file_frames"]),
-                 proc_frames=int(z["proc_frames"]))
+d = DecodedAudio(z["samples"], float(z["processing_rate"]),
+                 int(z["file_frames"]), float(z["file_rate"]))
 ofiles = sorted(glob.glob("/root/repo/tests/_cache/oracle_*BlackBird.npz"))
 oz = np.load(ofiles[-1])
 opos, oneg = oz["pos"], oz["neg"]

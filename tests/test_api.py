@@ -106,3 +106,74 @@ def test_compat_names_roundtrip():
 def test_context_manager():
     with AudioDetective() as d:
         assert d.window_size == 2048
+
+
+# -- builder path (LBAudioDetectiveFingerprint.h:27,35,98,108,147) -----------
+
+def test_builder_copy_equality_roundtrip(detective):
+    """Reference copy-equality test (Tests.m:141-155) rebuilt through the
+    incremental builder path: re-adding each extracted subfingerprint's
+    boolean buffer via AddSubfingerprint reproduces the processed
+    fingerprint exactly."""
+    fp = detective.process_audio_file(corpus_path("Wren"))
+    b = compat.LBAudioDetectiveFingerprintNew(0)
+    ok, eff = compat.LBAudioDetectiveFingerprintSetSubfingerprintLength(
+        b, fp.subfingerprint_length)
+    assert ok and eff == 200
+    for i in range(fp.num_subfingerprints):
+        compat.LBAudioDetectiveFingerprintAddSubfingerprint(
+            b, fp.subfingerprint_booleans(i))
+    assert compat.LBAudioDetectiveFingerprintGetNumberOfSubfingerprints(b) \
+        == fp.num_subfingerprints
+    assert compat.LBAudioDetectiveFingerprintEqualToFingerprint(b, fp)
+    cp = compat.LBAudioDetectiveFingerprintCopy(b)
+    assert compat.LBAudioDetectiveFingerprintEqualToFingerprint(cp, b)
+    assert compat.stringFromFingerprint(b) == compat.stringFromFingerprint(fp)
+    # The slide compare accepts builders on either side.
+    score = compat.LBAudioDetectiveFingerprintCompareToFingerprint(b, fp, 200)
+    assert score == pytest.approx(1.0)
+
+
+def test_builder_length_lock_and_q1_truncation():
+    b = compat.LBAudioDetectiveFingerprintNew(0)
+    ok, eff = compat.LBAudioDetectiveFingerprintSetSubfingerprintLength(b, 200)
+    assert ok and eff == 200
+    # Quirk Q1: a 400-boolean extraction buffer stores only the first 200.
+    buf = np.zeros(400, np.uint8)
+    buf[0] = buf[399] = 1
+    compat.LBAudioDetectiveFingerprintAddSubfingerprint(b, buf)
+    stored = b.subfingerprint_booleans(0)
+    assert stored.shape == (200,)
+    assert stored[0] == 1 and stored.sum() == 1
+    # Length locks once non-empty; the refused call reports the locked value.
+    ok, eff = compat.LBAudioDetectiveFingerprintSetSubfingerprintLength(b, 100)
+    assert not ok and eff == 200
+    compat.LBAudioDetectiveFingerprintDispose(b)
+    assert compat.LBAudioDetectiveFingerprintGetNumberOfSubfingerprints(b) == 0
+    compat.LBAudioDetectiveFingerprintDispose(None)   # NULL-tolerant
+
+
+def test_compare_subfingerprints_q10(detective):
+    """Raw-buffer Q10 semantics (Fingerprint.m:151-176): possible hits
+    counted from buffer 1's non-zero pairs; asymmetric in its inputs."""
+    fp = compat.LBAudioDetectiveFingerprintNew(200)
+    s1 = np.zeros(200, np.uint8)
+    s2 = np.zeros(200, np.uint8)
+    s1[0] = 1            # pair 0: (1,0) in s1, (0,0) in s2 -> possible, miss
+    s1[2] = 1; s2[2] = 1 # pair 1: equal non-zero -> hit
+    s2[4] = 1            # pair 2: s1 zero -> not possible (asymmetry)
+    score = compat.LBAudioDetectiveFingerprintCompareSubfingerprints(
+        fp, s1, s2, 200)
+    assert score == pytest.approx(0.5)
+    swapped = compat.LBAudioDetectiveFingerprintCompareSubfingerprints(
+        fp, s2, s1, 200)
+    assert swapped == pytest.approx(0.5)   # s2 has pairs 1,2 possible; 1 hit
+    # Zero range -> no possible hits -> 0.0 (Fingerprint.m:171-175).
+    assert compat.LBAudioDetectiveFingerprintCompareSubfingerprints(
+        fp, s1, s2, 0) == 0.0
+    # Agreement with the vectorised matcher on real data: a self-compare of
+    # one subfingerprint through the raw-buffer path scores 1.0.
+    real = detective.process_audio_file(corpus_path("Kestrel"))
+    b0 = real.subfingerprint_booleans(0)
+    assert compat.LBAudioDetectiveFingerprintCompareSubfingerprints(
+        real, b0, b0, 200) == pytest.approx(1.0)

@@ -61,3 +61,27 @@ def test_hashable_and_jit_key():
     assert a == b and hash(a) == hash(b)
     c = a.with_updates(analysis_stride=32)
     assert c != a and c.analysis_stride == 32 and a.analysis_stride == 64
+
+
+def test_unvalidated_precision_warns_on_accelerator():
+    """Identify paths must loudly warn when the precision tier's corpus
+    identification diverges from goldens (VERDICT r2 weakness 2)."""
+    import warnings
+
+    from lbaudiodetective_tpu.config import FingerprintConfig
+
+    for tier in ("default", "medium"):
+        cfg = FingerprintConfig(matmul_precision=tier)
+        assert not cfg.identification_validated
+        with pytest.warns(UserWarning, match="NOT validated"):
+            cfg.warn_if_unvalidated_for_identification(backend="tpu")
+        # CPU backends run full f32 contractions -> exempt.
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            cfg.warn_if_unvalidated_for_identification(backend="cpu")
+    for tier in ("high", "highest"):
+        cfg = FingerprintConfig(matmul_precision=tier)
+        assert cfg.identification_validated
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            cfg.warn_if_unvalidated_for_identification(backend="tpu")

@@ -114,7 +114,7 @@ def test_two_process_library_sharded_match(tmp_path):
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     env["PYTHONPATH"] = os.pathsep.join(
         [p for p in (env.get("PYTHONPATH", ""), repo) if p])
-    procs, outs = [], []
+    procs, outs, logs = [], [], []
     try:
         for pid in range(2):
             out = str(tmp_path / f"out{pid}.npz")
@@ -125,7 +125,11 @@ def test_two_process_library_sharded_match(tmp_path):
                  str(port), str(pid), "2", libdir, query_npz, out],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True))
-        logs = [p.communicate(timeout=240)[0] for p in procs]
+        for p in procs:
+            try:
+                logs.append(p.communicate(timeout=240)[0])
+            except subprocess.TimeoutExpired:
+                logs.append("<worker timed out after 240 s>")
     finally:
         for p in procs:                  # no orphans if rendezvous hangs
             if p.poll() is None:

@@ -77,13 +77,103 @@ def compute_band_energies(window: np.ndarray, config: FingerprintConfig) -> np.n
     return out
 
 
-def spectrogram_rows(audio: DecodedAudio, config: FingerprintConfig) -> np.ndarray:
+def _first_stage_band_indices(config: FingerprintConfig) -> np.ndarray:
+    """The reference's Hz-like first-stage band edges ``indices[j]``
+    (LBAudioDetective.m:367-371) — n-independent (built from windowSize)."""
+    import math
+
+    bins = config.pitch_step_count
+    sr = config.processing_sample_rate
+    log_base = math.exp(math.log((sr / 2.0) / config.min_frequency) / bins)
+    mincoef = float(config.window_size) / sr * config.min_frequency
+    return np.array([int((log_base ** j - 1.0) * mincoef) + int(mincoef)
+                     for j in range(bins + 1)], dtype=np.int64)
+
+
+def _band_energies_short_read(buf: np.ndarray, n_read: int,
+                              config: FingerprintConfig) -> np.ndarray:
+    """ComputeFrequencies with ``inNumberFrames = n_read < windowSize``
+    (the reference's short-read call, LBAudioDetective.m:275,281,335-408):
+
+    - the FFT still runs over the FULL window-sized buffer (FFT state is
+      sized once), so the tail beyond ``n_read`` is stale data;
+    - ``width = inNumberFrames/2`` rescales the Q5 divisor to
+      ``(n_read/2)/2`` (integer divisions) — 0 near EOF, sending positive
+      components to inf (dropped by the NaN/inf guard, m:399-402) while
+      NEGATIVE components keep contributing;
+    - the second band-edge conversion divides by ``sr/inNumberFrames``
+      (m:382-383), shrinking every bin index by ``n_read/windowSize`` (the
+      2013 ARM float->UInt32 conversion saturates negatives to 0).
+    """
+    re, im = vdsp_packed_spectrum(buf)
+    width = n_read // 2
+    div = np.float32(width // 2)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        re = np.where(re > 0.0, re / div, re)
+        im = np.where(im > 0.0, im / div, im)
+        v = re * re + im * im
+    v = np.where(np.isfinite(v), v, np.float32(0.0))
+    indices = _first_stage_band_indices(config)
+    sr = config.processing_sample_rate
+    out = np.zeros(config.pitch_step_count, dtype=np.float32)
+    half = buf.shape[0] // 2
+    for i in range(config.pitch_step_count):
+        lo_b, hi_b = int(indices[i]), int(indices[i + 1])
+        if n_read > 0:
+            li = (2.0 * lo_b) / (sr / n_read) - 1.0
+            hi = (2.0 * hi_b) / (sr / n_read) - 1.0
+        else:
+            li = hi = -1.0                       # 2L/inf - 1 on sr/0
+        li = 0 if li < 0 else min(int(li), half)
+        hi = 0 if hi < 0 else min(int(hi), half)
+        wdt = np.float32(hi_b - lo_b)
+        if hi > li and wdt > 0:
+            out[i] = v[li:hi].sum(dtype=np.float32) / wdt
+    return out
+
+
+def _stale_tail_rows(audio: DecodedAudio, config: FingerprintConfig,
+                     starts: np.ndarray, first_short: int) -> np.ndarray:
+    """Rows from ``first_short`` on with the reference's short-read cascade
+    (LBAudioDetective.m:252,275): ``readNumberFrames`` starts at windowSize,
+    is written back by every ExtAudioFileRead, and is never reset — so after
+    the first short read every subsequent read requests (at most) what the
+    last one returned, and the sample buffer's tail keeps whatever the last
+    longer read left there."""
+    w = config.window_size
+    x = audio.samples
+    p_total = x.shape[0]
+    buf = np.zeros(w, np.float32)
+    if first_short > 0:                 # buffer state entering the tail:
+        s_prev = int(starts[first_short - 1])
+        seg = x[s_prev:min(s_prev + w, p_total)]
+        buf[:seg.shape[0]] = seg        # the previous (full) read
+    req = w
+    out = np.zeros((len(starts) - first_short, config.pitch_step_count),
+                   np.float32)
+    for j, i in enumerate(range(first_short, len(starts))):
+        s = int(starts[i])
+        got = min(req, max(0, p_total - s))
+        if got:
+            buf[:got] = x[s:s + got]
+        req = got
+        if got >= w:                    # not actually short (defensive)
+            out[j] = compute_band_energies(buf, config)
+        else:
+            out[j] = _band_energies_short_read(buf, got, config)
+    return out
+
+
+def spectrogram_rows(audio: DecodedAudio, config: FingerprintConfig,
+                     stale_tail: bool = False) -> np.ndarray:
     """All spectrogram rows for a clip: ``[n_rows, pitch_step_count]`` float32.
 
     Row ``i`` is the band-energy vector of the 2048-sample window starting at
     processing sample ``floor(i * hop)`` (hop per config.hop_domain, quirk Q8).
-    Windows running past EOF are zero-padded (the reference's behaviour there
-    is a short-read artefact; see SURVEY.md Q8).
+    Windows running past EOF are zero-padded by default; with
+    ``stale_tail=True`` they instead replicate the reference's short-read
+    stale-buffer cascade (LBAudioDetective.m:252,275 — see
+    CALIBRATION.md for the measured corpus impact).
     """
     n_rows = config.num_rows(audio.file_frames, audio.proc_frames)
     # Q9: rows beyond the last full frame are never used; skip computing them.
@@ -122,6 +212,13 @@ def spectrogram_rows(audio: DecodedAudio, config: FingerprintConfig) -> np.ndarr
         hi = min(max(int(ranges[i, 1]), 0), n // 2)
         if hi > lo and widths[i] > 0:   # zero-width band -> energy 0 (0/0 UB)
             rows[:, i] = v[:, lo:hi].sum(axis=1, dtype=np.float32) / widths[i]
+    if stale_tail:
+        # First row whose window runs past EOF (short read in the reference).
+        first_short = int(np.searchsorted(starts + w, audio.samples.shape[0],
+                                          side="right"))
+        if first_short < n_rows:
+            rows[first_short:] = _stale_tail_rows(audio, config, starts,
+                                                  first_short)
     return rows
 
 
@@ -179,13 +276,15 @@ def extract_subfingerprint(frame_coeffs: np.ndarray, config: FingerprintConfig
     return pos, neg
 
 
-def oracle_fingerprint(audio: DecodedAudio, config: FingerprintConfig | None = None
+def oracle_fingerprint(audio: DecodedAudio, config: FingerprintConfig | None = None,
+                       stale_tail: bool = False
                        ) -> tuple[np.ndarray, np.ndarray]:
     """Full extraction: clip -> (pos, neg) uint8 arrays ``[n_sub, pairs]``
     (LBAudioDetectiveProcessAudioURL + SynthesizeFingerprint,
-    LBAudioDetective.m:208-331)."""
+    LBAudioDetective.m:208-331).  ``stale_tail`` opts into the reference's
+    short-read stale-buffer EOF behaviour (Q8 tail; CALIBRATION.md)."""
     config = config or FingerprintConfig()
-    rows = spectrogram_rows(audio, config)
+    rows = spectrogram_rows(audio, config, stale_tail=stale_tail)
     rpf = config.rows_per_frame
     n_sub = rows.shape[0] // rpf
     pairs = config.num_wavelet_pairs

@@ -16,11 +16,19 @@ from lbaudiodetective_tpu.parallel.sharded import (
     match_library_sharded,
     ring_all_pairs_scores,
 )
+from lbaudiodetective_tpu.parallel.sharded_packed import (
+    match_library_sharded_packed,
+    ring_all_pairs_scores_packed,
+    ring_dedup_topk_packed,
+)
 
 __all__ = [
     "make_mesh",
     "extract_data_parallel",
     "match_library_sharded",
+    "match_library_sharded_packed",
     "match_long_time_sharded",
     "ring_all_pairs_scores",
+    "ring_all_pairs_scores_packed",
+    "ring_dedup_topk_packed",
 ]

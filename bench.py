@@ -196,6 +196,42 @@ def bench_million_track(config, s_max: int = 64, chunk: int = 65536,
     return dt, l
 
 
+def bench_dedup_block(config, lr: int = 1024, lv: int = 16, s_max: int = 64,
+                      iters: int = 20):
+    """Pod-scale dedup unit cost: one resident-vs-visiting packed block tile
+    (the inner unit of parallel.sharded_packed.ring_dedup_topk_packed's ring
+    step, chunked so the [lr, lv, S, S] hit transient stays bounded).
+
+    Returns (pair_compares_per_sec, seconds_per_tile).  The 1M-track pod
+    extrapolation in bench_details derives from this rate: each of n devices
+    does L^2/n full offset-slide pair compares across the whole ring.
+    """
+    from lbaudiodetective_tpu.ops.match_packed import _mask_words
+    from lbaudiodetective_tpu.parallel.sharded_packed import _packed_block_scores
+    from lbaudiodetective_tpu.utils.packing import words_per_plane
+
+    pairs = config.num_wavelet_pairs
+    w = words_per_plane(pairs)
+    rng = np.random.default_rng(7)
+    rp = jnp.asarray(rng.integers(0, 2**32, size=(lr, s_max, w), dtype=np.uint32))
+    rn = jnp.asarray(rng.integers(0, 2**32, size=(lr, s_max, w), dtype=np.uint32))
+    vp = jnp.asarray(rng.integers(0, 2**32, size=(lv, s_max, w), dtype=np.uint32))
+    vn = jnp.asarray(rng.integers(0, 2**32, size=(lv, s_max, w), dtype=np.uint32))
+    rc = jnp.full((lr,), s_max, jnp.int32)
+    vc = jnp.full((lv,), s_max, jnp.int32)
+    mask_w = jnp.asarray(_mask_words(pairs, 0, config.subfingerprint_length))
+
+    @jax.jit
+    def step(carry):
+        scores = _packed_block_scores(
+            (rp ^ (carry * 0.0).astype(jnp.uint32), rn, rc), (vp, vn, vc),
+            mask_w)
+        return scores, carry + scores[0, 0]
+
+    dt = _timed(step, iters)
+    return lr * lv / dt, dt
+
+
 def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
                     steps: int = 20):
     """BASELINE config 4: concurrent stream throughput (real-time factor)."""
@@ -338,6 +374,21 @@ def main():
             q_dt, l = bench_million_track(parity_cfg)
         details["million_track_query_seconds"] = q_dt
         details["million_track_library_size"] = l
+    if "--dedup" in sys.argv:
+        runs_dd = []
+        for _ in range(3):
+            with timers.stage("dedup_block"):
+                dd_cps, _ = bench_dedup_block(parity_cfg)
+            runs_dd.append(dd_cps)
+        rate = min(runs_dd)
+        details["dedup_packed_block_pair_compares_per_sec"] = rate
+        details["dedup_packed_block_runs"] = runs_dd
+        # 1M-track all-pairs dedup over an n-device pod: every device performs
+        # L^2/n full offset-slide pair compares across the ring (ICI traffic
+        # per step is (L/n) * 3.2 KB packed — negligible vs compute).
+        l = 1_048_576
+        details["dedup_1m_pod_extrapolation"] = {
+            str(n): l * l / n / rate for n in (64, 256)}
 
     try:
         n_streams = 64 if quick else 256

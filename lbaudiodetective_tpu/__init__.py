@@ -24,6 +24,7 @@ __version__ = "0.1.0"
 _EXPORTS = {
     "FingerprintConfig": "lbaudiodetective_tpu.config",
     "Fingerprint": "lbaudiodetective_tpu.models.fingerprint",
+    "FingerprintBuilder": "lbaudiodetective_tpu.models.fingerprint",
     "AudioDetective": "lbaudiodetective_tpu.models.detective",
     "FingerprintLibrary": "lbaudiodetective_tpu.models.library",
     "StreamingDetective": "lbaudiodetective_tpu.streaming.runtime",

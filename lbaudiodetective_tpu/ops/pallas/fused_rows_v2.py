@@ -297,7 +297,9 @@ def _rows_kernel_v3(*refs,
                     fuse_haar: bool, bf16x3: bool, tps: int, n_blk: int,
                     batched_rolls: bool = False, aux3: bool = False,
                     proj_concat: bool = False, conj_pairs: bool = False,
-                    two_pass: bool = False, fuse_select: bool = False):
+                    two_pass: bool = False, fuse_select: bool = False,
+                    dense_pairs: bool = False, aux2: bool = False,
+                    cat_gk: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
      perm_ref, hcols_ref, out_ref) = refs[n_blk:]
@@ -320,7 +322,7 @@ def _rows_kernel_v3(*refs,
                 return jax.lax.dot_general(
                     a, b, dn, preferred_element_type=jnp.float32)
 
-            if two_pass:
+            if aux2:
                 return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[0], sl),
                         dg(c16_im_ref[0], sh) + dg(c16_im_ref[0], sl))
             return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[1], sh)
@@ -412,6 +414,17 @@ def _rows_kernel_v3(*refs,
                 + jnp.dot(g_hi, t1, preferred_element_type=jnp.float32)
                 + jnp.dot(g_lo, t0, preferred_element_type=jnp.float32))
 
+    def stage2_x(g_re, g_im, gi, wid=None):
+        # cat_gk: one double-K matmul [M, 256] @ [[A];[B]] per (gi, pass)
+        # instead of two K=128 ones — same MACs, half the matmul ops, and
+        # the K-tile accumulation order keeps the association (re taps then
+        # im taps) so results match the two-matmul form to ~1 ulp.
+        if cat_gk:
+            g = jnp.concatenate([g_re, g_im], axis=1)
+            return stage2_dot(g, t2a_ref, gi, wid)
+        return (stage2_dot(g_re, t2a_ref, gi, wid)
+                + stage2_dot(g_im, t2b_ref, gi, wid))
+
     if batched_rolls:
         g_all_re = [build_g_all(p_res[k]) for k in range(tps)]
         g_all_im = [build_g_all(p_ims[k]) for k in range(tps)]
@@ -461,7 +474,7 @@ def _rows_kernel_v3(*refs,
             vh, vl = split3(v)
             contrib = (jnp.dot(vh, proj_ref[0, r], preferred_element_type=jnp.float32)
                        + jnp.dot(vl, proj_ref[0, r], preferred_element_type=jnp.float32))
-            if not two_pass:
+            if not aux2:
                 contrib = contrib + jnp.dot(vh, proj_ref[1, r],
                                             preferred_element_type=jnp.float32)
         else:
@@ -483,28 +496,40 @@ def _rows_kernel_v3(*refs,
         else:
             g_re = jnp.concatenate([build_g(p_res[k][gi]) for k in range(tps)], axis=0)
             g_im = jnp.concatenate([build_g(p_ims[k][gi]) for k in range(tps)], axis=0)
-        if conj_pairs and 0 < gi < _A // 2:
+        if dense_pairs:
+            # Dense lane packing (no per-residue 64-lane granule padding):
+            # pair residues carry [re_r | im_r | re_rc | im_rc] at k_max
+            # stride in 192 lanes (singles the first 2*k_max of 128).  Q5
+            # and the square are position-independent, and the deep
+            # projection matmul's precomputed rows pair each bin's re- and
+            # im-lane — so the kernel never slices the x lanes at all and
+            # stage-2 N drops from 2048 to 1600 lanes per window.
+            wid = _LANE if gi in (0, _A // 2) else t2a_ref.shape[-1]
+            x = stage2_x(g_re, g_im, gi, wid)
+            x = jnp.where(x > 0.0, x * inv_div, x)
+            v = x * x
+            v_by_r[gi] = jnp.where(jnp.isfinite(v), v, 0.0)
+        elif conj_pairs and 0 < gi < _A // 2:
             # Conjugate pair (gi, 16-gi): G_{16-r} = conj(G_r) for real
             # input, so one G feeds both residues' stage-2 through paired
             # weights [A_r | A_rc] / [B_r | -B_rc] (weights built in the
             # wrapper); x lanes [0:128) are residue gi, [128:256) are 16-gi.
-            x = stage2_dot(g_re, t2a_ref, gi) + stage2_dot(g_im, t2b_ref, gi)
+            x = stage2_x(g_re, g_im, gi)
             x = jnp.where(x > 0.0, x * inv_div, x)
             emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
             emit(_A - gi, x[:, _LANE:_LANE + half] ** 2 + x[:, _LANE + half:] ** 2)
         else:
             wid = _LANE if conj_pairs else None   # singles: first 128 lanes
-            x = (stage2_dot(g_re, t2a_ref, gi, wid)
-                 + stage2_dot(g_im, t2b_ref, gi, wid))
+            x = stage2_x(g_re, g_im, gi, wid)
             x = jnp.where(x > 0.0, x * inv_div, x)
             emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
     if proj_concat:
-        v_cat = jnp.concatenate([v_by_r[r] for r in range(_A)], axis=1)
+        v_cat = jnp.concatenate([v_by_r[r] for r in sorted(v_by_r)], axis=1)
         if aux3:
             vh, vl = split3(v_cat)
             rows_acc = (jnp.dot(vh, proj_ref[0], preferred_element_type=jnp.float32)
                         + jnp.dot(vl, proj_ref[0], preferred_element_type=jnp.float32))
-            if not two_pass:
+            if not aux2:
                 rows_acc = rows_acc + jnp.dot(vh, proj_ref[1],
                                               preferred_element_type=jnp.float32)
         else:
@@ -561,7 +586,8 @@ def v3_tiles_per_step(n_tiles: int) -> int:
 
 @partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar",
                                    "batched_rolls", "aux_bf16x3", "tps_override",
-                                   "proj_concat", "conj_pairs", "fuse_select"))
+                                   "proj_concat", "conj_pairs", "fuse_select",
+                                   "dense_pairs", "aux_two_pass", "cat_gk"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
@@ -570,7 +596,17 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        tps_override: int | None = None,
                        proj_concat: bool = True,
                        conj_pairs: bool = True,
-                       fuse_select: bool = False) -> jnp.ndarray:
+                       fuse_select: bool = False,
+                       dense_pairs: bool = False,
+                       aux_two_pass: bool = False,
+                       cat_gk: bool = False) -> jnp.ndarray:
+    # dense_pairs is a MEASURED NEGATIVE on v5e (scripts/ab_dense.py): the
+    # 22% stage-2 MAC cut (2048 -> 1600 lanes) times out at 26.0 ms vs 24.9
+    # ms per 128 parity clips because N=192 matmuls do not run
+    # proportionally faster than N=256 (MXU N-tile granularity) and the
+    # deeper 1600-K projection adds cost.  Kept as a variant for re-testing
+    # on hardware with finer N tiles; numerics validated (99.917% oracle bit
+    # agreement, identical to the granule packing).
     """BlockSpec-pipelined fused rows: ``[B, T] -> [B, n_rows, bands]``.
 
     Same math as v2; audio arrives as two shifted regular block inputs per
@@ -600,6 +636,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     # at half the passes of the Mosaic HIGHEST fallback.
     aux3 = bf16x3 if aux_bf16x3 is None else (aux_bf16x3 and not interpret)
     conj = conj_pairs and not batched_rolls
+    dense = dense_pairs and conj and proj_concat
     if conj:
         # Conjugate-pair symmetry (real input): stage-1 runs residues 0..8
         # only; each pair residue 16-r rides residue r's G through widened
@@ -609,20 +646,65 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         n_res = _A // 2 + 1
         c16 = np.ascontiguousarray(c16[:, :n_res])
         s16 = np.ascontiguousarray(s16[:, :n_res])
-        nlan = t2a.shape[2]
-        t2a_p = np.zeros((n_res, t2a.shape[1], 2 * nlan), np.float32)
-        t2b_p = np.zeros_like(t2a_p)
-        for gi in range(n_res):
-            t2a_p[gi, :, :nlan] = t2a[gi]
-            t2b_p[gi, :, :nlan] = t2b[gi]
-            if 0 < gi < _A // 2:
-                t2a_p[gi, :, nlan:] = t2a[_A - gi]
-                t2b_p[gi, :, nlan:] = -t2b[_A - gi]
-        t2a, t2b = t2a_p, t2b_p
+        if dense:
+            # Dense lane packing: drop the 64-lane-granule padding (k_max=43
+            # useful of 64) by laying pair weights as [re_r | im_r | re_rc |
+            # im_rc] at k_max stride (172 -> 192 lanes vs 256) and singles as
+            # [re | im] in 128.  The re^2+im^2 energy pairing moves into the
+            # deep projection matmul, whose rows carry each bin's band
+            # weight at BOTH its re- and im-lane — stage-2 N drops 2048 ->
+            # 1600 lanes/window and the kernel stops slicing x entirely.
+            from lbaudiodetective_tpu.ops.pallas.fused_rows import (
+                _kernel_constants)
+
+            _, _, t_re, t_im, proj_flat, k2 = _kernel_constants(config)
+            assert k2 == k_max
+            b_len = t_re.shape[1]
+            npair = -(-4 * k_max // 64) * 64              # 172 -> 192
+            t2a_d = np.zeros((n_res, b_len, npair), np.float32)
+            t2b_d = np.zeros_like(t2a_d)
+            proj_blocks = []
+            k = k_max
+            for gi in range(n_res):
+                rc = _A - gi
+                t2a_d[gi, :, 0:k] = t_re[gi]
+                t2a_d[gi, :, k:2 * k] = t_im[gi]
+                t2b_d[gi, :, 0:k] = -t_im[gi]
+                t2b_d[gi, :, k:2 * k] = t_re[gi]
+                width = _LANE if gi in (0, _A // 2) else npair
+                pb = np.zeros((width, bands), np.float32)
+                pb[0:k] = proj_flat[gi * k:(gi + 1) * k]       # re lanes
+                pb[k:2 * k] = proj_flat[gi * k:(gi + 1) * k]   # im lanes
+                if 0 < gi < _A // 2:
+                    t2a_d[gi, :, 2 * k:3 * k] = t_re[rc]
+                    t2a_d[gi, :, 3 * k:4 * k] = t_im[rc]
+                    t2b_d[gi, :, 2 * k:3 * k] = t_im[rc]
+                    t2b_d[gi, :, 3 * k:4 * k] = -t_re[rc]
+                    pb[2 * k:3 * k] = proj_flat[rc * k:(rc + 1) * k]
+                    pb[3 * k:4 * k] = proj_flat[rc * k:(rc + 1) * k]
+                proj_blocks.append(pb)
+            t2a, t2b = t2a_d, t2b_d
+            proj_perm = np.concatenate(proj_blocks, axis=0)    # [1600, bands]
+        else:
+            nlan = t2a.shape[2]
+            t2a_p = np.zeros((n_res, t2a.shape[1], 2 * nlan), np.float32)
+            t2b_p = np.zeros_like(t2a_p)
+            for gi in range(n_res):
+                t2a_p[gi, :, :nlan] = t2a[gi]
+                t2b_p[gi, :, :nlan] = t2b[gi]
+                if 0 < gi < _A // 2:
+                    t2a_p[gi, :, nlan:] = t2a[_A - gi]
+                    t2b_p[gi, :, nlan:] = -t2b[_A - gi]
+            t2a, t2b = t2a_p, t2b_p
+    cat = cat_gk and conj and not dense
+    if cat:
+        # Stack A over B on the contraction axis: x = [g_re | g_im] @ [A; B].
+        t2a = np.concatenate([t2a, t2b], axis=1)
+        t2b = np.zeros((1, 1, 1), np.float32)            # unused placeholder
     if bf16x3:
         t2a = np.stack(_split_bf16(t2a))
         t2b = np.stack(_split_bf16(t2b))
-    if proj_concat:
+    if proj_concat and not dense:
         proj_perm = proj_perm.reshape(_A * proj_perm.shape[1],
                                       proj_perm.shape[2])
     if aux3:
@@ -690,7 +772,10 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      fuse_haar=fuse_haar, bf16x3=bf16x3, tps=tps, n_blk=n_blk,
                      batched_rolls=batched_rolls, aux3=aux3,
                      proj_concat=proj_concat, conj_pairs=conj,
-                     two_pass=two_pass, fuse_select=fuse_select)
+                     two_pass=two_pass, fuse_select=fuse_select,
+                     dense_pairs=dense,
+                     aux2=(two_pass or aux_two_pass) and not interpret,
+                     cat_gk=cat)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -99,3 +99,93 @@ class PipelinedIdentifier:
         tail = self.drain()
         if tail is not None:
             yield tail
+
+
+class DeviceSplitPipeline:
+    """True device-split pipeline parallelism: extraction runs data-parallel
+    on one device subset while matching runs library-sharded on a DISJOINT
+    subset (SURVEY §2.3 PP row: the stages saturate different resources, so
+    on a pod they can own different chips).
+
+    Stage handoff is an explicit ``jax.device_put`` of the extracted bit
+    planes from the extract submesh to the match submesh (ICI on hardware).
+    All dispatch is asynchronous, so while batch k matches on the match
+    devices, batch k+1 is already extracting on the extract devices — the
+    same two-deep software pipeline as :class:`PipelinedIdentifier`, but
+    with genuinely disjoint stage placement.
+    """
+
+    def __init__(self, library_pos, library_neg, library_counts,
+                 extract_devices, match_devices,
+                 config: FingerprintConfig | None = None,
+                 comparison_range: int = 0):
+        import functools
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if set(extract_devices) & set(match_devices):
+            raise ValueError("extract/match device sets must be disjoint")
+        if len(library_pos) % len(match_devices):
+            raise ValueError("library size must divide the match submesh")
+        self.config = config or FingerprintConfig()
+        self.comparison_range = comparison_range
+        self.mesh_x = Mesh(np.array(extract_devices), ("data",))
+        self.mesh_m = Mesh(np.array(match_devices), ("library",))
+        lib_sh = NamedSharding(self.mesh_m, P("library", None, None))
+        self._rep_m = NamedSharding(self.mesh_m, P())
+        self._x_in = NamedSharding(self.mesh_x, P("data", None))
+        self._x_cnt = NamedSharding(self.mesh_x, P("data"))
+        self._x_out = NamedSharding(self.mesh_x, P("data", None, None))
+        self.lib_pos = jax.device_put(jnp.asarray(library_pos), lib_sh)
+        self.lib_neg = jax.device_put(jnp.asarray(library_neg), lib_sh)
+        self.lib_counts = jax.device_put(
+            jnp.asarray(library_counts), NamedSharding(self.mesh_m, P("library")))
+        self.s_lib = int(self.lib_pos.shape[1])
+        self._pending = None
+        self._functools = functools
+
+    def _extract(self, audio_batch: np.ndarray, n_subs: np.ndarray):
+        cfg = self.config
+        bucket = bucket_subfingerprints(int(n_subs.max(initial=1)))
+        n_rows = rows_for_subfingerprints(cfg, bucket)
+        t_pad = required_padded_length(cfg, n_rows)
+        batch = np.zeros((audio_batch.shape[0], t_pad), np.float32)
+        t = min(audio_batch.shape[1], t_pad)
+        batch[:, :t] = audio_batch[:, :t]
+        fn = jax.jit(
+            self._functools.partial(extract_fingerprint_padded,
+                                    config=cfg, n_rows=n_rows),
+            in_shardings=(self._x_in, self._x_cnt),
+            out_shardings=(self._x_out, self._x_out))
+        return fn(jnp.asarray(batch), jnp.asarray(n_subs.astype(np.int32)))
+
+    def _match(self, pos, neg, n_subs):
+        cfg = self.config
+        s = max(self.s_lib, pos.shape[1])
+
+        def padq(a):
+            return jnp.pad(a, ((0, 0), (0, s - a.shape[1]), (0, 0)))
+
+        # Stage handoff: extract-submesh output -> replicated on the match
+        # submesh (device-to-device, async).
+        pos = jax.device_put(padq(pos), self._rep_m)
+        neg = jax.device_put(padq(neg), self._rep_m)
+        n_subs = jax.device_put(jnp.asarray(n_subs.astype(np.int32)),
+                                self._rep_m)
+        lib_pos = jnp.pad(self.lib_pos, ((0, 0), (0, s - self.s_lib), (0, 0)))
+        lib_neg = jnp.pad(self.lib_neg, ((0, 0), (0, s - self.s_lib), (0, 0)))
+        batched = jax.vmap(match_one_vs_many_padded,
+                           in_axes=(0, 0, 0, None, None, None, None, None))
+        return batched(pos, neg, n_subs, lib_pos, lib_neg, self.lib_counts,
+                       self.comparison_range, cfg.subfingerprint_length)
+
+    def submit(self, audio_batch: np.ndarray, n_subs: np.ndarray):
+        """Enqueue one batch; returns the PREVIOUS batch's scores (or None)."""
+        pos, neg = self._extract(audio_batch, n_subs)
+        scores = self._match(pos, neg, n_subs)
+        out, self._pending = self._pending, scores
+        return None if out is None else np.asarray(out)
+
+    def drain(self):
+        out, self._pending = self._pending, None
+        return None if out is None else np.asarray(out)

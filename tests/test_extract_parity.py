@@ -65,3 +65,37 @@ def test_determinism(decoded_corpus, default_config):
 def test_pos_neg_mutually_exclusive(decoded_corpus, default_config):
     pos, neg, n = extract_fingerprint(decoded_corpus["Kestrel"], default_config)
     assert ((pos & neg) == 0).all()
+
+
+def test_oracle_stale_tail_mode(default_config):
+    """Q8 tail opt-in: the short-read cascade only perturbs the final
+    windows (those past EOF), leaves everything before bit-identical, and is
+    deterministic (CALIBRATION.md 'short-read stale-buffer tail')."""
+    import numpy as np
+
+    from lbaudiodetective_tpu.io.decode import DecodedAudio
+    from lbaudiodetective_tpu.oracle.pipeline import spectrogram_rows
+
+    cfg = default_config
+    rng = np.random.default_rng(40)
+    file_frames = 300_000                       # ~6.8 s at 44.1k
+    proc = int(file_frames * cfg.processing_sample_rate / cfg.file_sample_rate)
+    clip = DecodedAudio((rng.standard_normal(proc) * 0.1).astype(np.float32),
+                        cfg.processing_sample_rate, file_frames,
+                        cfg.file_sample_rate)
+    base = spectrogram_rows(clip, cfg)
+    tail = spectrogram_rows(clip, cfg, stale_tail=True)
+    assert base.shape == tail.shape
+    starts = cfg.row_starts(base.shape[0])
+    first_short = int(np.searchsorted(starts + cfg.window_size, proc, "right"))
+    assert first_short < base.shape[0]          # the clip does have a tail
+    np.testing.assert_array_equal(base[:first_short], tail[:first_short])
+    assert not np.array_equal(base[first_short:], tail[first_short:])
+    tail2 = spectrogram_rows(clip, cfg, stale_tail=True)
+    np.testing.assert_array_equal(tail, tail2)  # deterministic cascade
+
+    # proc mode: no window runs past EOF -> flag is a no-op.
+    cfg_p = cfg.with_updates(hop_domain="proc")
+    np.testing.assert_array_equal(
+        spectrogram_rows(clip, cfg_p),
+        spectrogram_rows(clip, cfg_p, stale_tail=True))

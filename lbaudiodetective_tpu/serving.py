@@ -38,10 +38,21 @@ from lbaudiodetective_tpu import errors
 
 
 class IdentificationService:
-    """Pure request->response core (testable without sockets)."""
+    """Pure request->response core (testable without sockets).
+
+    ``batch_window_s > 0`` enables identify micro-batching: concurrent
+    requests landing within the window (or until ``max_batch``) are
+    extracted in ONE padded device dispatch by the first-arriving thread
+    (the batch leader), then matched and distributed — the
+    production-serving answer to per-request dispatch overhead on the
+    accelerator.  Results are identical to the unbatched path
+    (extract_fingerprint_batch is bit-identical to per-clip extraction;
+    tests/test_serving.py).
+    """
 
     def __init__(self, library: FingerprintLibrary, names: list[str],
-                 config: FingerprintConfig | None = None):
+                 config: FingerprintConfig | None = None,
+                 batch_window_s: float = 0.0, max_batch: int = 8):
         if len(names) != len(library):
             raise errors.InvalidArgumentError("names must match library size")
         self.library = library
@@ -51,20 +62,29 @@ class IdentificationService:
         # tiers whose identified counts diverge from the corpus goldens.
         self.config.warn_if_unvalidated_for_identification()
         self._lock = threading.Lock()
+        self.batch_window_s = batch_window_s
+        self.max_batch = max_batch
+        self._bcond = threading.Condition()
+        self._pending: list[dict] = []
+        #: Number of extraction device dispatches (observability + tests).
+        self.extract_dispatches = 0
 
-    def _fingerprint_bytes(self, payload: bytes) -> Fingerprint:
+    def _decode_bytes(self, payload: bytes):
         suffix = (".caf" if payload[:4] == b"caff"
                   else ".aiff" if payload[:4] == b"FORM" else ".wav")
         with tempfile.NamedTemporaryFile(suffix=suffix) as f:
             f.write(payload)
             f.flush()
-            decoded = decode_audio_file(f.name)
+            return decode_audio_file(f.name)
+
+    def _fingerprint_bytes(self, payload: bytes) -> Fingerprint:
+        decoded = self._decode_bytes(payload)
         pos, neg, n = extract_fingerprint(decoded, self.config)
+        self.extract_dispatches += 1
         return Fingerprint.from_planes(np.asarray(pos[:n]), np.asarray(neg[:n]),
                                        self.config.subfingerprint_length)
 
-    def identify(self, payload: bytes) -> dict:
-        fp = self._fingerprint_bytes(payload)
+    def _respond(self, fp: Fingerprint) -> dict:
         if fp.num_subfingerprints == 0:
             raise errors.DecodeError("clip too short to fingerprint")
         with self._lock:            # one device dispatch per request
@@ -72,6 +92,53 @@ class IdentificationService:
         best = int(np.argmax(scores))
         return {"track": self.names[best], "score": float(scores[best]),
                 "scores": {n: float(s) for n, s in zip(self.names, scores)}}
+
+    def identify(self, payload: bytes) -> dict:
+        if self.batch_window_s <= 0:
+            return self._respond(self._fingerprint_bytes(payload))
+        return self._identify_batched(payload)
+
+    # -- micro-batching -----------------------------------------------------
+
+    def _identify_batched(self, payload: bytes) -> dict:
+        decoded = self._decode_bytes(payload)    # decode stays per-thread
+        entry = {"clip": decoded, "done": threading.Event(),
+                 "fp": None, "error": None}
+        with self._bcond:
+            self._pending.append(entry)
+            is_leader = len(self._pending) == 1
+            if len(self._pending) >= self.max_batch:
+                self._bcond.notify_all()         # wake the leader early
+        if is_leader:
+            with self._bcond:
+                self._bcond.wait_for(
+                    lambda: len(self._pending) >= self.max_batch,
+                    timeout=self.batch_window_s)
+                batch, self._pending = self._pending, []
+            self._run_batch(batch)
+        else:
+            entry["done"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        return self._respond(entry["fp"])
+
+    def _run_batch(self, batch: list[dict]) -> None:
+        from lbaudiodetective_tpu.ops.extract import extract_fingerprint_batch
+
+        try:
+            pos, neg, n_subs = extract_fingerprint_batch(
+                [e["clip"] for e in batch], self.config)
+            self.extract_dispatches += 1
+            for i, e in enumerate(batch):
+                n = int(n_subs[i])
+                e["fp"] = Fingerprint.from_planes(
+                    pos[i, :n], neg[i, :n], self.config.subfingerprint_length)
+        except Exception as exc:  # noqa: BLE001 — fail the batch, not the server
+            for e in batch:
+                e["error"] = exc
+        finally:
+            for e in batch:
+                e["done"].set()
 
     def fingerprint(self, payload: bytes) -> dict:
         fp = self._fingerprint_bytes(payload)

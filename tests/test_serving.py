@@ -80,3 +80,60 @@ def test_garbage_payload_is_4xx(server):
 def test_unknown_path_404(server):
     status, _ = _post(server, "/nope", b"")
     assert status == 404
+
+
+def test_microbatched_identify_equals_unbatched(decoded_corpus, default_config):
+    """Concurrent identify requests inside the batch window must be served
+    from ONE extraction dispatch with results identical to the unbatched
+    path."""
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+
+    fps = []
+    for b in BIRDS[:4]:
+        pos, neg, n = extract_fingerprint(decoded_corpus[b], default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:n]),
+                                           np.asarray(neg[:n])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    plain = IdentificationService(lib, BIRDS[:4], default_config)
+    batched = IdentificationService(lib, BIRDS[:4], default_config,
+                                    batch_window_s=1.0, max_batch=4)
+
+    payloads = [open(corpus_path(b + "_eql"), "rb").read() for b in BIRDS[:4]]
+    expected = [plain.identify(p) for p in payloads]
+
+    results = [None] * 4
+    errs = []
+
+    def worker(i):
+        try:
+            results[i] = batched.identify(payloads[i])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+    assert batched.extract_dispatches == 1      # one fused device dispatch
+    for got, exp in zip(results, expected):
+        assert got["track"] == exp["track"]
+        for name in exp["scores"]:
+            assert got["scores"][name] == pytest.approx(exp["scores"][name],
+                                                        abs=1e-6)
+
+
+def test_microbatched_identify_single_request(decoded_corpus, default_config):
+    """A lone request inside the window still completes (leader timeout)."""
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+
+    pos, neg, n = extract_fingerprint(decoded_corpus[BIRDS[0]], default_config)
+    lib = FingerprintLibrary.from_fingerprints(
+        [Fingerprint.from_planes(np.asarray(pos[:n]), np.asarray(neg[:n]))],
+        default_config)
+    svc = IdentificationService(lib, BIRDS[:1], default_config,
+                                batch_window_s=0.05, max_batch=8)
+    out = svc.identify(open(corpus_path(BIRDS[0]), "rb").read())
+    assert out["track"] == BIRDS[0]
+    assert out["score"] == pytest.approx(1.0)

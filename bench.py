@@ -79,11 +79,16 @@ def bench_extract(config, batch: int, clip_seconds: float = 10.0, iters: int = 2
     return batch / dt, dt
 
 
-def bench_match(config, library_size: int, s_max: int = 64, iters: int = 30):
+def make_bench_match(config, library_size: int, s_max: int = 64):
     """Pinned standard config: query = s_max//2 valid subfingerprints vs a
     library of full-length (s_max) entries — a ~5 s query against ~10 s
     tracks.  Library size 16384 amortises the ~2.4 ms relay dispatch so the
     metric reflects sustained matcher throughput.
+
+    Returns a ``run(iters) -> (pair_cps, sub_cps, dt)`` closure over
+    device-resident arrays: the ~210 MB library uploads ONCE (per-call
+    re-upload rides the tunnelled dev link for minutes and perturbs
+    adjacent timings).
     """
     from lbaudiodetective_tpu.ops.match import match_one_vs_many_padded
 
@@ -105,17 +110,24 @@ def bench_match(config, library_size: int, s_max: int = 64, iters: int = 30):
             lib_pos, lib_neg, n_lib, 0, config.subfingerprint_length)
         return scores, carry + scores[0]
 
-    dt = _timed(step, iters)
-    pair_compares = library_size / dt                       # full offset-slide compares
-    # Subfingerprint-level comparisons: offsets * n2 per pair.
-    sub_compares = library_size * (s_max // 2 + 1) * (s_max // 2) / dt
-    return pair_compares, sub_compares, dt
+    def run(iters: int = 30):
+        dt = _timed(step, iters)
+        pair_compares = library_size / dt               # full offset-slides
+        # Subfingerprint-level comparisons: offsets * n2 per pair.
+        sub_compares = library_size * (s_max // 2 + 1) * (s_max // 2) / dt
+        return pair_compares, sub_compares, dt
+
+    return run
 
 
-def bench_match_packed(config, library_size: int, s_max: int = 64,
-                       iters: int = 30):
+def bench_match(config, library_size: int, s_max: int = 64, iters: int = 30):
+    return make_bench_match(config, library_size, s_max)(iters)
+
+
+def make_bench_match_packed(config, library_size: int, s_max: int = 64):
     """Same pinned matching workload through the packed-bit popcount matcher
-    (the HBM-resident path used for big libraries)."""
+    (the HBM-resident path used for big libraries); single upload, reusable
+    timed runs (see make_bench_match)."""
     from lbaudiodetective_tpu.ops.match_packed import (match_one_vs_many_packed,
                                                        pack_bits_device)
 
@@ -138,8 +150,16 @@ def bench_match_packed(config, library_size: int, s_max: int = 64,
             0, config.subfingerprint_length)
         return scores, carry + scores[0]
 
-    dt = _timed(step, iters)
-    return library_size / dt, dt
+    def run(iters: int = 30):
+        dt = _timed(step, iters)
+        return library_size / dt, dt
+
+    return run
+
+
+def bench_match_packed(config, library_size: int, s_max: int = 64,
+                       iters: int = 30):
+    return make_bench_match_packed(config, library_size, s_max)(iters)
 
 
 def bench_packed_64k(config, s_max: int = 64, iters: int = 20):
@@ -346,17 +366,24 @@ def main():
     # must hold across runs, not on a lucky one).
     lib = 2048 if quick else 16384
     runs, runs_sub, runs_packed = [], [], []
+    run_match = make_bench_match(parity_cfg, library_size=lib)
+    try:
+        run_packed = make_bench_match_packed(parity_cfg, library_size=lib)
+    except Exception as e:
+        run_packed = None
+        details["match_packed_error"] = str(e)[:200]
     for _ in range(1 if quick else 3):
         with timers.stage("match_matmul"):
-            pair_cps, sub_cps, dt_m = bench_match(parity_cfg, library_size=lib)
+            pair_cps, sub_cps, dt_m = run_match()
         runs.append(pair_cps)
         runs_sub.append(sub_cps)
-        try:
-            with timers.stage("match_packed"):
-                packed_cps, _ = bench_match_packed(parity_cfg, library_size=lib)
-            runs_packed.append(packed_cps)
-        except Exception as e:
-            details["match_packed_error"] = str(e)[:200]
+        if run_packed is not None:
+            try:
+                with timers.stage("match_packed"):
+                    packed_cps, _ = run_packed()
+                runs_packed.append(packed_cps)
+            except Exception as e:
+                details["match_packed_error"] = str(e)[:200]
     details["match_pair_compares_per_sec"] = min(runs)
     details["match_pair_compares_runs"] = runs
     details["match_subfingerprint_compares_per_sec"] = min(runs_sub)

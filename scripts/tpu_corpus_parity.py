@@ -1,5 +1,5 @@
 """Run the five corpus identification matrices END-TO-END on the TPU backend
-and write TPU_PARITY_r02.md (VERDICT r1 item 7).
+and write TPU_PARITY_r03.md (re-validated each round after kernel changes).
 
 Covers both kernel precisions:
   - shipped default (matmul_precision="high": 3-pass bf16 stage-2)
@@ -87,7 +87,7 @@ def run_mode(cfg, label, lines):
 def main():
     assert jax.default_backend() != "cpu", (
         "this script must run on the TPU backend (run without forcing cpu)")
-    lines = ["# TPU end-to-end corpus identification (round 2)", "",
+    lines = ["# TPU end-to-end corpus identification (round 3)", "",
              f"Device: `{jax.devices()[0]}`; full pipeline (decode on host, "
              "extraction + matching on the TPU backend via the v3 Pallas "
              "kernel path), all five 10x10 matrices.", "",
@@ -100,7 +100,7 @@ def main():
     lines.append("\n## Verdict\n")
     lines.append(f"- shipped default: {'all suites match CPU goldens' if ok_high else 'DIVERGENCE — see above'}")
     lines.append(f"- fast mode: {'identified counts match CPU goldens' if ok_fast else 'identified counts DIVERGE from CPU goldens — fast mode is NOT validated for identification'}")
-    out = pathlib.Path("/root/repo/TPU_PARITY_r02.md")
+    out = pathlib.Path("/root/repo/TPU_PARITY_r03.md")
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}", flush=True)
 

@@ -216,15 +216,17 @@ def bench_million_track(config, s_max: int = 64, chunk: int = 65536,
     return dt, l
 
 
-def bench_dedup_block(config, lr: int = 1024, lv: int = 16, s_max: int = 64,
-                      iters: int = 20):
+def make_bench_dedup_block(config, lr: int = 1024, lv: int = 16,
+                           s_max: int = 64):
     """Pod-scale dedup unit cost: one resident-vs-visiting packed block tile
     (the inner unit of parallel.sharded_packed.ring_dedup_topk_packed's ring
     step, chunked so the [lr, lv, S, S] hit transient stays bounded).
 
-    Returns (pair_compares_per_sec, seconds_per_tile).  The 1M-track pod
-    extrapolation in bench_details derives from this rate: each of n devices
-    does L^2/n full offset-slide pair compares across the whole ring.
+    Returns a ``run(iters) -> (pair_compares_per_sec, seconds_per_tile)``
+    closure (single upload + single jit across repeated runs).  The
+    1M-track pod extrapolation in bench_details derives from this rate:
+    each of n devices does L^2/n full offset-slide pair compares across the
+    whole ring.
     """
     from lbaudiodetective_tpu.ops.match_packed import _mask_words
     from lbaudiodetective_tpu.parallel.sharded_packed import _packed_block_scores
@@ -248,8 +250,11 @@ def bench_dedup_block(config, lr: int = 1024, lv: int = 16, s_max: int = 64,
             mask_w)
         return scores, carry + scores[0, 0]
 
-    dt = _timed(step, iters)
-    return lr * lv / dt, dt
+    def run(iters: int = 20):
+        dt = _timed(step, iters)
+        return lr * lv / dt, dt
+
+    return run
 
 
 def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
@@ -403,9 +408,10 @@ def main():
         details["million_track_library_size"] = l
     if "--dedup" in sys.argv:
         runs_dd = []
+        run_dd = make_bench_dedup_block(parity_cfg)
         for _ in range(3):
             with timers.stage("dedup_block"):
-                dd_cps, _ = bench_dedup_block(parity_cfg)
+                dd_cps, _ = run_dd()
             runs_dd.append(dd_cps)
         rate = min(runs_dd)
         details["dedup_packed_block_pair_compares_per_sec"] = rate

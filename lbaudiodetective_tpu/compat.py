@@ -57,6 +57,27 @@ def LBAudioDetectiveDefaultProcessingSampleRate() -> float:
     return DEFAULT_PROCESSING_SAMPLE_RATE
 
 
+def LBAudioDetectiveDefaultProcessingFormat() -> dict:
+    """AudioStreamBasicDescription analogue (LBAudioDetective.m:116-131):
+    packed mono float32 at the processing rate."""
+    return {"sample_rate": DEFAULT_PROCESSING_SAMPLE_RATE,
+            "format": "lpcm", "float": True, "signed_integer": False,
+            "bits_per_channel": 32, "channels_per_frame": 1,
+            "frames_per_packet": 1, "bytes_per_frame": 4,
+            "bytes_per_packet": 4, "packed": True}
+
+
+def LBAudioDetectiveDefaultRecordingFormat() -> dict:
+    """Recording-format default (declared LBAudioDetective.h:122; defined in
+    the essay's streaming build: packed mono signed-int16 PCM at the capture
+    hardware rate — our streaming ingest's int16 path)."""
+    return {"sample_rate": 44100.0,
+            "format": "lpcm", "float": False, "signed_integer": True,
+            "bits_per_channel": 16, "channels_per_frame": 1,
+            "frames_per_packet": 1, "bytes_per_frame": 2,
+            "bytes_per_packet": 2, "packed": True}
+
+
 # -- getters (LBAudioDetective.h:63-122) ------------------------------------
 
 def LBAudioDetectiveGetProcessingSampleRate(d: AudioDetective) -> float:
@@ -77,6 +98,19 @@ def LBAudioDetectiveGetWindowSize(d: AudioDetective) -> int:
 
 def LBAudioDetectiveGetAnalysisStride(d: AudioDetective) -> int:
     return d.analysis_stride
+
+
+def LBAudioDetectiveGetRecordingSampleRate(d: AudioDetective) -> float:
+    """Declared LBAudioDetective.h:67 (defined in the essay's streaming
+    build: the capture format's sample rate)."""
+    return d.recording_sample_rate
+
+
+def LBAudioDetectiveGetFingerprint(d: AudioDetective):
+    """The detective's most recent fingerprint (LBAudioDetective.h:63; after
+    CompareAudioURLs it belongs to the second file, h:224).  None before any
+    processing."""
+    return d.last_fingerprint
 
 
 # -- setters (LBAudioDetective.h:144-201) -----------------------------------
@@ -101,6 +135,12 @@ def LBAudioDetectiveSetWindowSize(d: AudioDetective, size: int) -> None:
 
 def LBAudioDetectiveSetAnalysisStride(d: AudioDetective, stride: int) -> None:
     d.analysis_stride = stride
+
+
+def LBAudioDetectiveSetRecordingSampleRate(d: AudioDetective, rate: float) -> None:
+    """Declared LBAudioDetective.h:143; recording must stay signed-int PCM
+    (h:135) — only the rate is tunable here."""
+    d.recording_sample_rate = float(rate)
 
 
 # -- processing (LBAudioDetective.h:210-235) --------------------------------
@@ -255,6 +295,26 @@ def LBAudioDetectiveFrameExtractFingerprint(frame, number_of_wavelets: int):
 
 def LBAudioDetectiveFrameEqualToFrame(frame1, frame2) -> bool:
     return frame1 == frame2
+
+
+def LBAudioDetectiveFrameDispose(frame) -> None:
+    """NULL-tolerant like the reference (Frame.m:33-43)."""
+    if frame is not None:
+        frame.clear()
+
+
+def LBAudioDetectiveFrameGetRow(frame, row: int) -> np.ndarray:
+    return frame.get_row(row)
+
+
+def LBAudioDetectiveFrameFingerprintLength(frame) -> int:
+    """numberOfRows * rowLength * 2 booleans (Frame.m:159-161)."""
+    return frame.fingerprint_length
+
+
+def LBAudioDetectiveFrameFingerprintSize(frame) -> int:
+    """Byte size of the extraction buffer (Frame.m:155-157)."""
+    return frame.fingerprint_size
 
 
 # -- streaming (essay Appendix E API surface) --------------------------------

@@ -28,6 +28,14 @@ class AudioDetective:
 
     def __init__(self, config: FingerprintConfig | None = None):
         self.config = config or FingerprintConfig()
+        #: Recording-format preference (LBAudioDetective.h:127-143: the
+        #: capture format for the streaming path; must be signed-int PCM).
+        #: Only the sample rate is tunable — our streaming ingest is int16.
+        self.recording_sample_rate = 44100.0
+        #: The detective retains its most recent fingerprint
+        #: (LBAudioDetectiveGetFingerprint, h:63; after CompareAudioURLs it
+        #: belongs to the second file, h:224).
+        self.last_fingerprint: Fingerprint | None = None
 
     # -- context manager (New/Dispose analogue) -----------------------------
 
@@ -95,8 +103,10 @@ class AudioDetective:
 
     def process_decoded(self, audio: DecodedAudio) -> Fingerprint:
         pos, neg, n_sub = extract_fingerprint(audio, self.config)
-        return Fingerprint.from_planes(pos[:n_sub], neg[:n_sub],
-                                       self.config.subfingerprint_length)
+        fp = Fingerprint.from_planes(pos[:n_sub], neg[:n_sub],
+                                     self.config.subfingerprint_length)
+        self.last_fingerprint = fp
+        return fp
 
     def process_batch(self, paths: list[str]) -> list[Fingerprint]:
         """All clips in one padded device dispatch (BASELINE config 2)."""

@@ -48,6 +48,26 @@ class Frame:
     def get_value(self, row: int, col: int) -> float:
         return float(self.rows[row][col])
 
+    def get_row(self, row: int) -> np.ndarray:
+        """The stored row buffer (LBAudioDetectiveFrameGetRow, m:71-73)."""
+        return self.rows[row]
+
+    @property
+    def fingerprint_length(self) -> int:
+        """Boolean count a full extraction buffer holds:
+        ``numberOfRows * rowLength * 2`` (m:159-161)."""
+        return self.number_of_rows * self.row_length * 2
+
+    @property
+    def fingerprint_size(self) -> int:
+        """Byte size of that buffer (sizeof(Boolean) == 1; m:155-157)."""
+        return self.fingerprint_length
+
+    def clear(self) -> None:
+        """Dispose analogue: release the rows (m:33-43)."""
+        self.rows = []
+        self.row_length = 0
+
     def as_matrix(self) -> np.ndarray:
         return np.stack([r[: self.row_length] for r in self.rows])
 

@@ -83,12 +83,18 @@ def read_aiff(path: str) -> tuple[np.ndarray, float]:
     if channels < 1 or rate <= 0:
         raise DecodeError("invalid AIFF COMM parameters")
 
+    def whole(data: bytes, width: int) -> bytes:
+        """Trim to whole samples: a truncated file (tolerated above) must
+        not make np.frombuffer raise on a ragged tail byte."""
+        return data[: (len(data) // width) * width]
+
     if comp in (b"NONE", b"sowt"):
         endian = "<" if comp == b"sowt" else ">"
         if bits == 8:                      # AIFF 8-bit PCM is SIGNED
             x = np.frombuffer(ssnd, np.int8).astype(np.float32) / 128.0
         elif bits == 16:
-            x = np.frombuffer(ssnd, endian + "i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(whole(ssnd, 2), endian + "i2"
+                              ).astype(np.float32) / 32768.0
         elif bits == 24:
             b = np.frombuffer(ssnd, np.uint8)
             b = b[: (len(b) // 3) * 3].reshape(-1, 3)
@@ -99,13 +105,14 @@ def read_aiff(path: str) -> tuple[np.ndarray, float]:
             vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
             x = vals.astype(np.float32) / float(1 << 23)
         elif bits == 32:
-            x = np.frombuffer(ssnd, endian + "i4").astype(np.float32) / 2147483648.0
+            x = np.frombuffer(whole(ssnd, 4), endian + "i4"
+                              ).astype(np.float32) / 2147483648.0
         else:
             raise UnsupportedFormatError(f"unsupported AIFF bit depth {bits}")
     elif comp in (b"fl32", b"FL32"):
-        x = np.frombuffer(ssnd, ">f4").astype(np.float32)
+        x = np.frombuffer(whole(ssnd, 4), ">f4").astype(np.float32)
     elif comp in (b"fl64", b"FL64"):
-        x = np.frombuffer(ssnd, ">f8").astype(np.float32)
+        x = np.frombuffer(whole(ssnd, 8), ">f8").astype(np.float32)
     else:
         raise UnsupportedFormatError(
             f"unsupported AIFF-C compression type {comp!r}")

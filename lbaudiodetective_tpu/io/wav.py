@@ -53,9 +53,14 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
             raise UnsupportedFormatError(
                 f"unsupported WAVE_FORMAT_EXTENSIBLE SubFormat {audio_format}")
 
+    def whole(d: bytes, width: int) -> bytes:
+        """Trim to whole samples (truncated files are tolerated above; a
+        ragged tail byte must not make np.frombuffer raise)."""
+        return d[: (len(d) // width) * width]
+
     if audio_format == 1:  # integer PCM
         if bits == 16:
-            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+            x = np.frombuffer(whole(data, 2), "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
             b = np.frombuffer(data, np.uint8)
             b = b[: (len(b) // 3) * 3].reshape(-1, 3)
@@ -65,14 +70,14 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
             vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
             x = vals.astype(np.float32) / float(1 << 23)
         elif bits == 32:
-            x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+            x = np.frombuffer(whole(data, 4), "<i4").astype(np.float32) / 2147483648.0
         else:
             raise UnsupportedFormatError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3:  # IEEE float
         dtype = {32: "<f4", 64: "<f8"}.get(bits)
         if dtype is None:
             raise UnsupportedFormatError(f"unsupported float bit depth {bits}")
-        x = np.frombuffer(data, dtype).astype(np.float32)
+        x = np.frombuffer(whole(data, bits // 8), dtype).astype(np.float32)
     else:
         raise UnsupportedFormatError(f"unsupported WAV format code {audio_format}")
 

@@ -142,7 +142,22 @@ class DeviceSplitPipeline:
             jnp.asarray(library_counts), NamedSharding(self.mesh_m, P("library")))
         self.s_lib = int(self.lib_pos.shape[1])
         self._pending = None
+        # jit wrappers cached per static bucket (n_rows / padded S): a fresh
+        # jax.jit per submit would retrace+recompile every batch and
+        # serialise the host against the compiler, destroying the async
+        # stage overlap.
+        self._extract_fns: dict[int, object] = {}
+        self._padded_lib: dict[int, tuple] = {}
         self._functools = functools
+
+    def _extract_fn(self, n_rows: int):
+        if n_rows not in self._extract_fns:
+            self._extract_fns[n_rows] = jax.jit(
+                self._functools.partial(extract_fingerprint_padded,
+                                        config=self.config, n_rows=n_rows),
+                in_shardings=(self._x_in, self._x_cnt),
+                out_shardings=(self._x_out, self._x_out))
+        return self._extract_fns[n_rows]
 
     def _extract(self, audio_batch: np.ndarray, n_subs: np.ndarray):
         cfg = self.config
@@ -152,12 +167,8 @@ class DeviceSplitPipeline:
         batch = np.zeros((audio_batch.shape[0], t_pad), np.float32)
         t = min(audio_batch.shape[1], t_pad)
         batch[:, :t] = audio_batch[:, :t]
-        fn = jax.jit(
-            self._functools.partial(extract_fingerprint_padded,
-                                    config=cfg, n_rows=n_rows),
-            in_shardings=(self._x_in, self._x_cnt),
-            out_shardings=(self._x_out, self._x_out))
-        return fn(jnp.asarray(batch), jnp.asarray(n_subs.astype(np.int32)))
+        return self._extract_fn(n_rows)(jnp.asarray(batch),
+                                        jnp.asarray(n_subs.astype(np.int32)))
 
     def _match(self, pos, neg, n_subs):
         cfg = self.config
@@ -172,8 +183,11 @@ class DeviceSplitPipeline:
         neg = jax.device_put(padq(neg), self._rep_m)
         n_subs = jax.device_put(jnp.asarray(n_subs.astype(np.int32)),
                                 self._rep_m)
-        lib_pos = jnp.pad(self.lib_pos, ((0, 0), (0, s - self.s_lib), (0, 0)))
-        lib_neg = jnp.pad(self.lib_neg, ((0, 0), (0, s - self.s_lib), (0, 0)))
+        if s not in self._padded_lib:   # padded once per S bucket, resident
+            self._padded_lib[s] = (
+                jnp.pad(self.lib_pos, ((0, 0), (0, s - self.s_lib), (0, 0))),
+                jnp.pad(self.lib_neg, ((0, 0), (0, s - self.s_lib), (0, 0))))
+        lib_pos, lib_neg = self._padded_lib[s]
         batched = jax.vmap(match_one_vs_many_padded,
                            in_axes=(0, 0, 0, None, None, None, None, None))
         return batched(pos, neg, n_subs, lib_pos, lib_neg, self.lib_counts,

@@ -77,10 +77,14 @@ class IdentificationService:
             f.flush()
             return decode_audio_file(f.name)
 
+    def _count_dispatch(self) -> None:
+        with self._lock:                 # += on a counter is not atomic
+            self.extract_dispatches += 1
+
     def _fingerprint_bytes(self, payload: bytes) -> Fingerprint:
         decoded = self._decode_bytes(payload)
         pos, neg, n = extract_fingerprint(decoded, self.config)
-        self.extract_dispatches += 1
+        self._count_dispatch()
         return Fingerprint.from_planes(np.asarray(pos[:n]), np.asarray(neg[:n]),
                                        self.config.subfingerprint_length)
 
@@ -115,7 +119,12 @@ class IdentificationService:
                     lambda: len(self._pending) >= self.max_batch,
                     timeout=self.batch_window_s)
                 batch, self._pending = self._pending, []
-            self._run_batch(batch)
+            # max_batch bounds the fused dispatch (padded device memory /
+            # latency), not just the wakeup: a burst larger than max_batch
+            # is processed in chunks — every taken entry IS processed here,
+            # so no follower can be left waiting.
+            for start in range(0, len(batch), self.max_batch):
+                self._run_batch(batch[start:start + self.max_batch])
         else:
             entry["done"].wait()
         if entry["error"] is not None:
@@ -123,19 +132,30 @@ class IdentificationService:
         return self._respond(entry["fp"])
 
     def _run_batch(self, batch: list[dict]) -> None:
-        from lbaudiodetective_tpu.ops.extract import extract_fingerprint_batch
+        from lbaudiodetective_tpu.ops.extract import (extract_fingerprint,
+                                                      extract_fingerprint_batch)
 
         try:
             pos, neg, n_subs = extract_fingerprint_batch(
                 [e["clip"] for e in batch], self.config)
-            self.extract_dispatches += 1
+            self._count_dispatch()
             for i, e in enumerate(batch):
                 n = int(n_subs[i])
                 e["fp"] = Fingerprint.from_planes(
                     pos[i, :n], neg[i, :n], self.config.subfingerprint_length)
-        except Exception as exc:  # noqa: BLE001 — fail the batch, not the server
+        except Exception:  # noqa: BLE001 — isolate the failing clip(s):
+            # re-run each clip individually so one pathological request
+            # (e.g. a huge clip OOM-ing the padded batch) fails only itself,
+            # matching the unbatched path's per-request isolation.
             for e in batch:
-                e["error"] = exc
+                try:
+                    p1, n1, n = extract_fingerprint(e["clip"], self.config)
+                    self._count_dispatch()
+                    e["fp"] = Fingerprint.from_planes(
+                        np.asarray(p1[:n]), np.asarray(n1[:n]),
+                        self.config.subfingerprint_length)
+                except Exception as exc_one:  # noqa: BLE001
+                    e["error"] = exc_one
         finally:
             for e in batch:
                 e["done"].set()

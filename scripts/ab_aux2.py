@@ -1,9 +1,13 @@
-"""A/B: selective precision — stage-2 at 3-pass bf16, auxiliary matmuls
-(stage-1, projection, un-permutation/Haar) at 2-pass (VERDICT r2 'next'
-item 3's selective-precision suggestion).
+"""A/B: selective precision (VERDICT r2 'next' item 3) and cat_gk.
 
-Measures rows-stage speed and full-pipeline bit parity vs the oracle.  Only
-worth corpus validation if the speed gain is material (>5%).
+aux_two_pass drops ONLY stage-1 and the band projection to 2-pass bf16;
+the un-permutation/Haar matmuls deliberately stay at 3-pass (the first,
+coarser experiment also two-passed Haar: 22.1 ms / 95.77% bits; this
+narrower split measured 22.7 ms / 95.73% bits — the divergence does NOT
+come from Haar, and no 2-pass split reaches the 99.9% parity bar).
+cat_gk fuses each residue's two stage-2 matmuls into one double-K matmul.
+
+Measures rows-stage speed and full-pipeline bit parity vs the oracle.
 """
 import time
 
@@ -16,7 +20,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
 from lbaudiodetective_tpu.config import FingerprintConfig
-from lbaudiodetective_tpu.io.decode import DecodedAudio
+from lbaudiodetective_tpu.io.decode import decode_audio_file
 from lbaudiodetective_tpu.oracle.pipeline import oracle_fingerprint
 from lbaudiodetective_tpu.ops.extract import required_padded_length
 from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
@@ -52,9 +56,8 @@ for aux2, cat in ((False, False), (True, False), (False, True), (True, True)):
           f"{dt*1e3:.2f} ms / {B} clips", flush=True)
 
 # Bit parity of the aux-2-pass rows against the oracle (coefficients path).
-z = np.load("/root/repo/tests/_cache/decoded_4297bbef_BlackBird.npz")
-clip = DecodedAudio(z["samples"], float(z["processing_rate"]),
-                    int(z["file_frames"]), float(z["file_rate"]))
+clip = decode_audio_file(
+    "/root/reference/LBAudioDetectiveTests/Birds/Archive/BlackBird.caf")
 from lbaudiodetective_tpu.ops.extract import (bucket_subfingerprints,
                                               rows_for_subfingerprints,
                                               subfingerprints_from_rows)

@@ -15,7 +15,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
 from lbaudiodetective_tpu.config import FingerprintConfig
-from lbaudiodetective_tpu.io.decode import DecodedAudio
+from lbaudiodetective_tpu.io.decode import decode_audio_file
 from lbaudiodetective_tpu.oracle.pipeline import oracle_fingerprint
 from lbaudiodetective_tpu.ops.extract import (extract_fingerprint,
                                               required_padded_length)
@@ -60,10 +60,9 @@ rel = np.abs(ra - rb) / np.maximum(np.abs(ra), 1e-12)
 print(f"coeff rel delta dense vs granule: median {np.median(rel):.2e} "
       f"p99 {np.quantile(rel, 0.99):.2e} max {rel.max():.2e}", flush=True)
 
-# Full-pipeline bit parity vs oracle (dense is the shipped default).
-z = np.load("/root/repo/tests/_cache/decoded_4297bbef_BlackBird.npz")
-clip = DecodedAudio(z["samples"], float(z["processing_rate"]),
-                    int(z["file_frames"]), float(z["file_rate"]))
+# Full-pipeline bit parity vs oracle with dense_pairs (the measured-negative variant).
+clip = decode_audio_file(
+    "/root/reference/LBAudioDetectiveTests/Birds/Archive/BlackBird.caf")
 jpos, jneg, n = extract_fingerprint(clip, cfg)
 opos, oneg = oracle_fingerprint(clip, cfg)
 agree = ((jpos[:n] == opos).mean() + (jneg[:n] == oneg).mean()) / 2 * 100

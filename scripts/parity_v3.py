@@ -13,7 +13,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 
 from lbaudiodetective_tpu.config import FingerprintConfig
-from lbaudiodetective_tpu.io.decode import DecodedAudio
+from lbaudiodetective_tpu.io.decode import decode_audio_file
 from lbaudiodetective_tpu.oracle.pipeline import oracle_fingerprint
 from lbaudiodetective_tpu.ops.extract import extract_fingerprint, required_padded_length
 from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
@@ -43,9 +43,8 @@ dt = (time.perf_counter() - t0) / 5
 print(f"v3 rows step: {dt*1e3:.2f} ms / {B} clips", flush=True)
 
 # Full-pipeline bit parity on a real clip.
-z = np.load("/root/repo/tests/_cache/decoded_4297bbef_BlackBird.npz")
-clip = DecodedAudio(z["samples"], float(z["processing_rate"]),
-                    int(z["file_frames"]), float(z["file_rate"]))
+clip = decode_audio_file(
+    "/root/reference/LBAudioDetectiveTests/Birds/Archive/BlackBird.caf")
 jpos, jneg, n = extract_fingerprint(clip, cfg)
 opos, oneg = oracle_fingerprint(clip, cfg)
 agree = ((jpos[:n] == opos).mean() + (jneg[:n] == oneg).mean()) / 2 * 100

@@ -8,7 +8,7 @@ from lbaudiodetective_tpu.config import FingerprintConfig
 from lbaudiodetective_tpu.ops.extract import (extract_fingerprint,
     required_padded_length)
 from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
-from lbaudiodetective_tpu.io.decode import DecodedAudio
+from lbaudiodetective_tpu.io.decode import decode_audio_file
 
 cfg_m = FingerprintConfig(matmul_precision="medium")
 B, S = 128, 56
@@ -26,9 +26,8 @@ for _ in range(30): c = step(audio, c)
 float(np.asarray(c))
 print(f"rows medium B=128: {(time.perf_counter()-t0)/30*1e3:.2f} ms/step", flush=True)
 
-z = np.load("/root/repo/tests/_cache/decoded_4297bbef_BlackBird.npz")
-d = DecodedAudio(z["samples"], float(z["processing_rate"]),
-                 int(z["file_frames"]), float(z["file_rate"]))
+d = decode_audio_file(
+    "/root/reference/LBAudioDetectiveTests/Birds/Archive/BlackBird.caf")
 ofiles = sorted(glob.glob("/root/repo/tests/_cache/oracle_*BlackBird.npz"))
 oz = np.load(ofiles[-1])
 opos, oneg = oz["pos"], oz["neg"]

@@ -79,11 +79,8 @@ class _LazyDict:
         return ((n, self[n]) for n in self.keys())
 
 
-@pytest.fixture(scope="session")
-def decoded_corpus():
-    """name -> DecodedAudio, computed lazily and disk-cached."""
-    from lbaudiodetective_tpu.io.decode import DecodedAudio, decode_audio_file
-
+def _io_code_hash() -> str:
+    """Hash of the decode/resample sources (keys the decoded_* cache)."""
     import hashlib
 
     io_dir = REPO_ROOT / "lbaudiodetective_tpu" / "io"
@@ -91,7 +88,15 @@ def decoded_corpus():
     for f in sorted(list(io_dir.glob("*.py")) + list(io_dir.glob("native/*.cpp"))):
         h.update(f.name.encode())
         h.update(f.read_bytes())
-    io_key = h.hexdigest()[:8]
+    return h.hexdigest()[:8]
+
+
+@pytest.fixture(scope="session")
+def decoded_corpus():
+    """name -> DecodedAudio, computed lazily and disk-cached."""
+    from lbaudiodetective_tpu.io.decode import DecodedAudio, decode_audio_file
+
+    io_key = _io_code_hash()
 
     def load(name):
         cache_file = CACHE / f"decoded_{io_key}_{name}.npz"
@@ -172,3 +177,33 @@ def default_config():
     from lbaudiodetective_tpu.config import FingerprintConfig
 
     return FingerprintConfig()
+
+
+def _prune_stale_fixture_caches() -> None:
+    """Delete code-hash-keyed fixture files whose key is no longer current.
+
+    Every kernel edit mints a new key; without pruning, superseded
+    ``jaxfp_*``/``oracle_*`` generations accumulate on disk AND in git
+    (advisor r3 finding: four byte-identical jaxfp sets were committed
+    under stale keys).  Deleting here keeps the working tree clean so a
+    normal ``git add -A`` records the removals.  decoded_* files key on the
+    io-code hash computed in :func:`decoded_corpus`; they are pruned by
+    prefix match against the current key set too.
+    """
+    try:
+        current = config_cache_key()
+    except Exception:
+        return
+    for f in CACHE.glob("jaxfp_*.npz"):
+        if not f.name.startswith(f"jaxfp_{current}_"):
+            f.unlink(missing_ok=True)
+    for f in CACHE.glob("oracle_*.npz"):
+        if not f.name.startswith(f"oracle_{current}_"):
+            f.unlink(missing_ok=True)
+    io_key = _io_code_hash()
+    for f in CACHE.glob("decoded_*.npz"):
+        if not f.name.startswith(f"decoded_{io_key}_"):
+            f.unlink(missing_ok=True)
+
+
+_prune_stale_fixture_caches()

@@ -124,3 +124,27 @@ def test_corpus_clip_via_aiff_same_score(tmp_path):
     s_aiff = det.compare_audio_files(corpus_path("Wren"), p)
     # 16-bit requantisation of an IMA4 decode perturbs scores marginally.
     assert abs(s_caf - s_aiff) < 0.02
+
+
+def test_ragged_tail_truncation(tmp_path):
+    """A file cut mid-sample must decode (trimmed), not crash frombuffer."""
+    x = _sine(64)
+    pcm = np.round(x * 32767).astype(">i2")
+    full = _aifc(tmp_path, b"NONE", pcm.tobytes(), 16, 64)
+    raw = open(full, "rb").read()
+    p = str(tmp_path / "ragged.aiff")
+    with open(p, "wb") as f:
+        f.write(raw[:len(raw) - 41])            # odd-byte cut
+    y, _ = read_aiff(p)
+    assert 0 < y.shape[0] < 64
+
+    from lbaudiodetective_tpu.io.wav import read_wav, write_wav
+
+    pw = str(tmp_path / "full.wav")
+    write_wav(pw, x, 44100.0)
+    raw = open(pw, "rb").read()
+    p2 = str(tmp_path / "ragged.wav")
+    with open(p2, "wb") as f:
+        f.write(raw[:len(raw) - 13])
+    y, _ = read_wav(p2)
+    assert 0 < y.shape[0] < 64

@@ -137,3 +137,66 @@ def test_microbatched_identify_single_request(decoded_corpus, default_config):
     out = svc.identify(open(corpus_path(BIRDS[0]), "rb").read())
     assert out["track"] == BIRDS[0]
     assert out["score"] == pytest.approx(1.0)
+
+
+def test_microbatch_overflow_and_failure_isolation(decoded_corpus,
+                                                   default_config):
+    """A burst larger than max_batch is processed in max_batch chunks (no
+    follower hangs), and a failing clip fails only its own request."""
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+
+    pos, neg, n = extract_fingerprint(decoded_corpus[BIRDS[0]], default_config)
+    lib = FingerprintLibrary.from_fingerprints(
+        [Fingerprint.from_planes(np.asarray(pos[:n]), np.asarray(neg[:n]))],
+        default_config)
+    svc = IdentificationService(lib, BIRDS[:1], default_config,
+                                batch_window_s=0.5, max_batch=2)
+    good = open(corpus_path(BIRDS[0] + "_eql"), "rb").read()
+    payloads = [good] * 5
+    results, errors = [None] * 5, [None] * 5
+
+    def worker(i):
+        try:
+            results[i] = svc.identify(payloads[i])
+        except Exception as e:  # noqa: BLE001
+            errors[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert all(e is None for e in errors)
+    assert all(r is not None and r["track"] == BIRDS[0] for r in results)
+
+    # Per-entry failure isolation: a clip too short to fingerprint in the
+    # same window as valid ones fails only itself (DecodeError), while the
+    # valid requests succeed.
+    import struct
+
+    from lbaudiodetective_tpu.io.wav import write_wav
+    import tempfile, pathlib, os
+
+    tiny = np.zeros(64, np.float32)
+    tmp = tempfile.mkdtemp()
+    tiny_path = str(pathlib.Path(tmp) / "tiny.wav")
+    write_wav(tiny_path, tiny, 44100.0)
+    tiny_payload = open(tiny_path, "rb").read()
+
+    mixed = [good, tiny_payload, good]
+    results2, errors2 = [None] * 3, [None] * 3
+
+    def worker2(i):
+        try:
+            results2[i] = svc.identify(mixed[i])
+        except Exception as e:  # noqa: BLE001
+            errors2[i] = e
+
+    threads = [threading.Thread(target=worker2, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results2[0] is not None and results2[2] is not None
+    assert errors2[0] is None and errors2[2] is None
+    assert errors2[1] is not None            # only the tiny clip fails

@@ -57,7 +57,7 @@ def cmd_enroll(args) -> int:
 
     files = _audio_files(args.directory)
     if not files:
-        print(f"no .caf/.wav files in {args.directory}", file=sys.stderr)
+        print(f"no audio files in {args.directory}", file=sys.stderr)
         return 2
     det = _detective()
     fps = det.process_batch([str(f) for f in files])  # one padded dispatch
@@ -65,15 +65,24 @@ def cmd_enroll(args) -> int:
     for f, fp in zip(files, fps):
         print(f"enrolled {f.stem}: {fp.num_subfingerprints} subfingerprints",
               file=sys.stderr)
-    lib = FingerprintLibrary.from_fingerprints(fps, det.config)
     # np.savez appends '.npz' when missing: normalise first so the .names.json
     # sidecar sits next to the file actually written and `identify --library`
     # finds it under the same name the user passed + '.npz'.
     out_path = args.output if args.output.endswith(".npz") else args.output + ".npz"
+    names_path = pathlib.Path(out_path).with_suffix(".names.json")
+    if getattr(args, "append", False) and pathlib.Path(out_path).exists():
+        # Incremental enrollment: grow an existing library in place (the
+        # parameter-hash guard refuses libraries from other configs).
+        lib = FingerprintLibrary.load(out_path, det.config).extend(fps)
+        old_names = (json.loads(names_path.read_text())
+                     if names_path.exists()
+                     else [f"track_{i}" for i in range(len(lib) - len(fps))])
+        names = old_names + names
+    else:
+        lib = FingerprintLibrary.from_fingerprints(fps, det.config)
     lib.save(out_path)
-    pathlib.Path(out_path).with_suffix(".names.json").write_text(
-        json.dumps(names))
-    print(f"wrote {out_path} ({len(fps)} tracks)", file=sys.stderr)
+    names_path.write_text(json.dumps(names))
+    print(f"wrote {out_path} ({len(lib)} tracks)", file=sys.stderr)
     return 0
 
 
@@ -140,6 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("enroll", help="build a library from a directory")
     e.add_argument("directory")
     e.add_argument("-o", "--output", required=True)
+    e.add_argument("--append", action="store_true",
+                   help="add to an existing library instead of overwriting")
     e.set_defaults(fn=cmd_enroll)
 
     i = sub.add_parser("identify", help="identify a clip against a library")

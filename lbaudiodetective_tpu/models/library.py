@@ -55,6 +55,35 @@ class FingerprintLibrary:
     def __len__(self) -> int:
         return int(self.pos_words.shape[0])
 
+    def extend(self, fps: list[Fingerprint]) -> "FingerprintLibrary":
+        """A new library with ``fps`` appended (incremental enrollment —
+        the essay's server grows its DB as new birds are submitted, PDF
+        §3.2.5).  Existing packed entries are reused; only the new
+        fingerprints are packed, and the subfingerprint axis re-pads to the
+        larger bucket when a new entry is longer."""
+        if not fps:
+            return self
+        pairs = self.pairs
+        if any(f.pairs != pairs for f in fps):
+            raise ValueError("fingerprint pair count mismatch")
+        s_old = int(self.pos_words.shape[1])
+        s_max = max(s_old,
+                    bucket_subfingerprints(max(f.num_subfingerprints for f in fps)))
+        w = packing.words_per_plane(pairs)
+        n_new = len(fps)
+        pos = np.zeros((len(self) + n_new, s_max, w), np.uint32)
+        neg = np.zeros_like(pos)
+        pos[:len(self), :s_old] = np.asarray(self.pos_words)
+        neg[:len(self), :s_old] = np.asarray(self.neg_words)
+        counts = np.zeros(len(self) + n_new, np.int32)
+        counts[:len(self)] = np.asarray(self.counts)
+        for i, f in enumerate(fps):
+            pw, nw = f.packed()
+            counts[len(self) + i] = f.num_subfingerprints
+            pos[len(self) + i, :pw.shape[0]] = pw
+            neg[len(self) + i, :nw.shape[0]] = nw
+        return FingerprintLibrary(pos, neg, counts, pairs, self.config)
+
     # -- matching -------------------------------------------------------------
 
     def match(self, query: Fingerprint, comparison_range: int = 0,

@@ -42,3 +42,19 @@ def test_compare_and_fingerprint(capsys):
 
 def test_enroll_empty_dir(tmp_path):
     assert main(["enroll", str(tmp_path), "-o", str(tmp_path / "x.npz")]) == 2
+
+
+def test_enroll_append(tiny_corpus, tmp_path, tmp_path_factory, capsys):
+    """Incremental enrollment: --append grows an existing library and its
+    names sidecar; identification covers both generations."""
+    lib = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(tiny_corpus), "-o", lib]) == 0
+    more = tmp_path_factory.mktemp("more")
+    shutil.copy(BIRDS_DIR / "Archive" / "Crow.caf", more / "Crow.caf")
+    assert main(["enroll", str(more), "-o", lib, "--append"]) == 0
+    capsys.readouterr()
+    crop = str(BIRDS_DIR / "Cropped/Equal" / "Crow_eql.caf")
+    assert main(["identify", crop, "--library", lib, "--all-scores"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["track"] == "Crow"
+    assert set(out["scores"]) == {"BlackBird", "Wren", "Crow"}

@@ -39,3 +39,21 @@ def test_library_roundtrip(tmp_path, corpus_library):
     np.testing.assert_allclose(loaded.match(query), lib.match(query), atol=1e-7)
     with pytest.raises(ValueError):
         FingerprintLibrary.load(p, FingerprintConfig(analysis_stride=32))
+
+
+def test_library_extend_matches_fresh(corpus_library):
+    """extend() must equal a library built from scratch with the same
+    fingerprints (packed entries, counts, pairs, scores)."""
+    import numpy as np
+
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+
+    lib, fps, names = corpus_library
+    base = FingerprintLibrary.from_fingerprints(fps[:2], lib.config)
+    grown = base.extend(fps[2:])
+    fresh = FingerprintLibrary.from_fingerprints(fps, lib.config)
+    assert len(grown) == len(fresh)
+    q = fps[-1]
+    np.testing.assert_allclose(np.asarray(grown.match(q)),
+                               np.asarray(fresh.match(q)), atol=1e-6)
+    assert grown.extend([]) is grown

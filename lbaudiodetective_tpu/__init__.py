@@ -19,7 +19,7 @@ Imports are lazy (PEP 562) so host-only paths (decode, oracle) do not pay the
 JAX import cost.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 _EXPORTS = {
     "FingerprintConfig": "lbaudiodetective_tpu.config",

@@ -97,9 +97,16 @@ def main():
                        '(matmul_precision="high", 3-pass bf16)', lines)
     ok_fast = run_mode(FingerprintConfig(matmul_precision="default"),
                        'fast serving mode (matmul_precision="default")', lines)
+    ok_highest = True
+    if "--highest" in sys.argv:
+        ok_highest = run_mode(
+            FingerprintConfig(matmul_precision="highest"),
+            'matmul_precision="highest" (6-pass Mosaic)', lines)
     lines.append("\n## Verdict\n")
     lines.append(f"- shipped default: {'all suites match CPU goldens' if ok_high else 'DIVERGENCE — see above'}")
     lines.append(f"- fast mode: {'identified counts match CPU goldens' if ok_fast else 'identified counts DIVERGE from CPU goldens — fast mode is NOT validated for identification'}")
+    if "--highest" in sys.argv:
+        lines.append(f"- highest: {'identified counts match CPU goldens' if ok_highest else 'identified counts DIVERGE — restrict identification_validated to high only'}")
     out = pathlib.Path("/root/repo/TPU_PARITY_r03.md")
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}", flush=True)

@@ -144,7 +144,7 @@ class FingerprintConfig:
     def identification_validated(self) -> bool:
         """True when this precision tier reproduces the CPU-golden corpus
         identification matrices on the TPU kernels (TPU_PARITY_r02/r03.md):
-        only the >=3-pass tiers do; "default" and "medium" shift scores by
+        only the >=3-pass tiers do (both validated on-chip, TPU_PARITY_r03.md); "default" and "medium" shift scores by
         enough to flip identified counts on the knife-edge suites."""
         return self.matmul_precision in ("high", "highest")
 

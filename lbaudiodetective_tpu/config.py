@@ -74,8 +74,9 @@ class FingerprintConfig:
     #: bit parity), "medium" (2 passes — full-precision operand vs bf16
     #: weights, measured ~94.8% bit parity, rows kernel ~25% faster than
     #: "high"), "high" (3 passes, 99.92% bit parity — the validated
-    #: default), "highest" (6 Mosaic passes).  Only "high" is validated for
-    #: corpus identification (TPU_PARITY_r02.md).
+    #: default), "highest" (6 Mosaic passes).  "high" and "highest" are
+    #: validated for corpus identification on-chip (TPU_PARITY_r03.md);
+    #: the others diverge and are warned about at identify entry points.
     #:
     #: Scope note: "medium" is a *Pallas v3 kernel* mode only.  The
     #: :attr:`precision` property maps it to ``jax.lax.Precision.HIGH`` so
@@ -143,9 +144,10 @@ class FingerprintConfig:
     @property
     def identification_validated(self) -> bool:
         """True when this precision tier reproduces the CPU-golden corpus
-        identification matrices on the TPU kernels (TPU_PARITY_r02/r03.md):
-        only the >=3-pass tiers do (both validated on-chip, TPU_PARITY_r03.md); "default" and "medium" shift scores by
-        enough to flip identified counts on the knife-edge suites."""
+        identification matrices on the TPU kernels: only the >=3-pass
+        tiers do (both validated on-chip, TPU_PARITY_r03.md); "default"
+        and "medium" shift scores by enough to flip identified counts on
+        the knife-edge suites."""
         return self.matmul_precision in ("high", "highest")
 
     def warn_if_unvalidated_for_identification(self, backend: str | None = None

@@ -1,0 +1,140 @@
+"""Continuous multi-stream identification: the essay's Whistles app loop
+(record -> fingerprint -> identify against the server DB, PDF §3.2.4-3.2.5)
+as a TPU-native streaming service.
+
+Combines the lockstep :class:`~lbaudiodetective_tpu.streaming.runtime.
+StreamingExtractor` (B concurrent streams, incremental bit-exact
+extraction) with a packed :class:`~lbaudiodetective_tpu.models.library.
+FingerprintLibrary`: as each stream accumulates subfingerprints, its
+running fingerprint is periodically matched against the library in one
+batched device dispatch, and the per-stream best candidate updates.
+
+The running fingerprint uses the full accumulated sequence, so scores
+converge to the offline identification of the whole stream (the essay's
+StopProcessing + server round-trip, but without ever stopping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.models.library import FingerprintLibrary
+from lbaudiodetective_tpu.ops.extract import bucket_subfingerprints
+from lbaudiodetective_tpu.ops.match import match_one_vs_many_padded
+from lbaudiodetective_tpu.streaming.runtime import StreamingExtractor
+
+
+@dataclasses.dataclass
+class StreamMatch:
+    """Current best candidate of one stream."""
+
+    track: int                 # library index (-1 before any match)
+    score: float
+    n_subfingerprints: int
+
+
+class StreamingIdentifier:
+    """Identify ``batch`` concurrent audio streams against a library.
+
+    Feed fixed-size chunks with :meth:`feed` / :meth:`feed_pcm16`; every
+    ``match_every`` newly completed subfingerprints (across the lockstep
+    batch) the accumulated fingerprints are matched against the library in
+    a single vmapped device dispatch.  :meth:`best` returns the running
+    per-stream winners; :meth:`finalize` forces a last match and returns
+    them.
+    """
+
+    def __init__(self, library: FingerprintLibrary, batch: int,
+                 chunk_size: int = 1024,
+                 config: FingerprintConfig | None = None,
+                 match_every: int = 4):
+        self.library = library
+        self.config = config or FingerprintConfig()
+        self.config.warn_if_unvalidated_for_identification()
+        self.extractor = StreamingExtractor(batch=batch, chunk_size=chunk_size,
+                                            config=self.config)
+        self.match_every = match_every
+        self.batch = batch
+        self._since_match = 0
+        self._results = [StreamMatch(-1, 0.0, 0) for _ in range(batch)]
+        # Unpacked library planes for the vmapped batch matcher (the packed
+        # popcount matcher is one-vs-many; B streams batch better through
+        # the shared-hits matmul form).
+        from lbaudiodetective_tpu.utils import packing
+
+        self._lib_pos = jnp.asarray(packing.unpack_bits(
+            np.asarray(library.pos_words), library.pairs))
+        self._lib_neg = jnp.asarray(packing.unpack_bits(
+            np.asarray(library.neg_words), library.pairs))
+
+    # -- ingestion ------------------------------------------------------------
+
+    def feed(self, chunk) -> int:
+        _, _, n_done = self.extractor.feed(chunk)
+        return self._maybe_match(n_done)
+
+    def feed_pcm16(self, chunk_i16: np.ndarray) -> int:
+        _, _, n_done = self.extractor.feed_pcm16(chunk_i16)
+        return self._maybe_match(n_done)
+
+    def _maybe_match(self, n_done: int) -> int:
+        self._since_match += n_done
+        if self._since_match >= self.match_every:
+            self._since_match = 0
+            self._match_now()
+        return n_done
+
+    # -- matching -------------------------------------------------------------
+
+    def _accumulated(self):
+        """(pos, neg, n) of every stream's full fingerprint so far, padded
+        to a shared bucket."""
+        collected = self.extractor.harvest()
+        if not collected:
+            return None
+        pos = np.concatenate([p for p, _ in collected], axis=1)
+        neg = np.concatenate([n for _, n in collected], axis=1)
+        return pos, neg, pos.shape[1]
+
+    def _match_now(self) -> None:
+        import jax
+
+        acc = self._accumulated()
+        if acc is None:
+            return
+        pos, neg, n_sub = acc
+        if n_sub == 0:
+            return
+        s = max(bucket_subfingerprints(n_sub), int(self._lib_pos.shape[1]))
+        qp = np.zeros((self.batch, s, self.library.pairs), np.uint8)
+        qn = np.zeros_like(qp)
+        qp[:, :n_sub] = pos
+        qn[:, :n_sub] = neg
+        lib_pos = jnp.pad(self._lib_pos,
+                          ((0, 0), (0, s - self._lib_pos.shape[1]), (0, 0)))
+        lib_neg = jnp.pad(self._lib_neg,
+                          ((0, 0), (0, s - self._lib_neg.shape[1]), (0, 0)))
+        nq = jnp.full((self.batch,), n_sub, jnp.int32)
+        batched = jax.vmap(match_one_vs_many_padded,
+                           in_axes=(0, 0, 0, None, None, None, None, None))
+        scores = np.asarray(batched(
+            jnp.asarray(qp), jnp.asarray(qn), nq, lib_pos, lib_neg,
+            self.library.counts, 0, self.config.subfingerprint_length))
+        best = scores.argmax(axis=1)
+        for b in range(self.batch):
+            self._results[b] = StreamMatch(int(best[b]),
+                                           float(scores[b, best[b]]), n_sub)
+
+    # -- results --------------------------------------------------------------
+
+    def best(self) -> list[StreamMatch]:
+        return list(self._results)
+
+    def finalize(self) -> list[StreamMatch]:
+        self._match_now()
+        return self.best()

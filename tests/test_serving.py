@@ -200,3 +200,48 @@ def test_microbatch_overflow_and_failure_isolation(decoded_corpus,
     assert results2[0] is not None and results2[2] is not None
     assert errors2[0] is None and errors2[2] is None
     assert errors2[1] is not None            # only the tiny clip fails
+
+
+def test_http_identify_with_batching(decoded_corpus, default_config):
+    """Socket-level: concurrent HTTP identify requests through the
+    micro-batcher return correct per-request results."""
+    import http.client
+
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+    from lbaudiodetective_tpu.serving import make_server
+
+    fps = []
+    for b in BIRDS[:3]:
+        pos, neg, n = extract_fingerprint(decoded_corpus[b], default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:n]),
+                                           np.asarray(neg[:n])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    svc = IdentificationService(lib, BIRDS[:3], default_config,
+                                batch_window_s=0.5, max_batch=3)
+    srv = make_server(svc)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address[:2]
+        payloads = {b: open(corpus_path(b + "_eql"), "rb").read()
+                    for b in BIRDS[:3]}
+        results = {}
+
+        def post(bird):
+            conn = http.client.HTTPConnection(host, port, timeout=120)
+            conn.request("POST", "/identify", body=payloads[bird])
+            resp = conn.getresponse()
+            results[bird] = (resp.status, json.loads(resp.read()))
+            conn.close()
+
+        ts = [threading.Thread(target=post, args=(b,)) for b in BIRDS[:3]]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=180)
+        assert set(results) == set(BIRDS[:3])
+        for b, (status, body) in results.items():
+            assert status == 200
+            assert body["track"] == b
+    finally:
+        srv.shutdown()

@@ -128,6 +128,37 @@ class FingerprintLibrary:
             out[start:end] = np.asarray(scores)[: end - start]
         return out
 
+    def match_many(self, queries: list[Fingerprint],
+                   comparison_range: int = 0) -> np.ndarray:
+        """``[B, L]`` match scores of B queries against every entry in ONE
+        vmapped device dispatch (the packed popcount matcher batched over
+        the query axis) — the serving batcher's match stage."""
+        import jax
+
+        self.config.warn_if_unvalidated_for_identification()
+        if not queries:
+            return np.zeros((0, len(self)), np.float32)
+        s = int(self.pos_words.shape[1])
+        b = len(queries)
+        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
+        qn = np.zeros_like(qp)
+        nq = np.zeros(b, np.int32)
+        for i, q in enumerate(queries):
+            n = min(q.num_subfingerprints, s)
+            nq[i] = n
+            qp[i, :n] = q.pos[:n]
+            qn[i, :n] = q.neg[:n]
+        qpw = pack_bits_device(jnp.asarray(qp))
+        qnw = pack_bits_device(jnp.asarray(qn))
+        batched = jax.vmap(match_one_vs_many_packed,
+                           in_axes=(0, 0, 0, None, None, None, None, None,
+                                    None))
+        scores = batched(qpw, qnw, jnp.asarray(nq),
+                         self.pos_words, self.neg_words, self.counts,
+                         self.pairs, comparison_range,
+                         self.config.subfingerprint_length)
+        return np.asarray(scores)
+
     def identify(self, query: Fingerprint, comparison_range: int = 0
                  ) -> tuple[int, float]:
         """(best entry index, score)."""

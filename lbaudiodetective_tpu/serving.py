@@ -129,7 +129,14 @@ class IdentificationService:
             entry["done"].wait()
         if entry["error"] is not None:
             raise entry["error"]
+        if entry.get("scores") is not None:     # matched in the batch
+            return self._response_from_scores(entry["scores"])
         return self._respond(entry["fp"])
+
+    def _response_from_scores(self, scores: np.ndarray) -> dict:
+        best = int(np.argmax(scores))
+        return {"track": self.names[best], "score": float(scores[best]),
+                "scores": {n: float(s) for n, s in zip(self.names, scores)}}
 
     def _run_batch(self, batch: list[dict]) -> None:
         from lbaudiodetective_tpu.ops.extract import (extract_fingerprint,
@@ -143,6 +150,17 @@ class IdentificationService:
                 n = int(n_subs[i])
                 e["fp"] = Fingerprint.from_planes(
                     pos[i, :n], neg[i, :n], self.config.subfingerprint_length)
+            # Match the whole batch in ONE vmapped dispatch too (clips too
+            # short to fingerprint are excluded; they raise DecodeError in
+            # their own thread via the _respond fallback).
+            matchable = [e for e in batch
+                         if e["fp"].num_subfingerprints > 0]
+            if matchable:
+                with self._lock:
+                    all_scores = self.library.match_many(
+                        [e["fp"] for e in matchable])
+                for e, s in zip(matchable, all_scores):
+                    e["scores"] = s
         except Exception:  # noqa: BLE001 — isolate the failing clip(s):
             # re-run each clip individually so one pathological request
             # (e.g. a huge clip OOM-ing the padded batch) fails only itself,

@@ -48,7 +48,7 @@ def test_library_extend_matches_fresh(corpus_library):
 
     from lbaudiodetective_tpu.models.library import FingerprintLibrary
 
-    lib, fps, names = corpus_library
+    det, fps, lib = corpus_library
     base = FingerprintLibrary.from_fingerprints(fps[:2], lib.config)
     grown = base.extend(fps[2:])
     fresh = FingerprintLibrary.from_fingerprints(fps, lib.config)
@@ -57,3 +57,16 @@ def test_library_extend_matches_fresh(corpus_library):
     np.testing.assert_allclose(np.asarray(grown.match(q)),
                                np.asarray(fresh.match(q)), atol=1e-6)
     assert grown.extend([]) is grown
+
+
+def test_match_many_equals_per_query(corpus_library):
+    """Batched multi-query matching == stacked single-query matches."""
+    import numpy as np
+
+    det, fps, lib = corpus_library
+    queries = fps[:3]
+    got = lib.match_many(queries)
+    assert got.shape == (3, len(lib))
+    ref = np.stack([lib.match(q) for q in queries])
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert lib.match_many([]).shape == (0, len(lib))

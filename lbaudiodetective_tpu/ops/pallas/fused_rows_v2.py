@@ -299,10 +299,10 @@ def _rows_kernel_v3(*refs,
                     proj_concat: bool = False, conj_pairs: bool = False,
                     two_pass: bool = False, fuse_select: bool = False,
                     dense_pairs: bool = False, aux2: bool = False,
-                    cat_gk: bool = False):
+                    cat_gk: bool = False, vmaj: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
-     perm_ref, hcols_ref, out_ref) = refs[n_blk:]
+     perm_ref, hcols_ref, permv_ref, out_ref) = refs[n_blk:]
     hi = precision
     full = jnp.concatenate([b[0, 0] for b in blk_refs], axis=0)  # [K*u, 128]
     qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
@@ -456,6 +456,22 @@ def _rows_kernel_v3(*refs,
 
         sel_re = sel_all(p_re_all)
         sel_im = sel_all(p_im_all)
+        if vmaj:
+            # v-major M layout: for a fixed roll phase v the G rows of ALL
+            # tiles are contiguous in sel[v] (tile k reads rows
+            # [k*wper, k*wper + wper) and adv_rows == wper), so ONE
+            # 16-piece concat shared by every residue replaces the per-
+            # residue 128-piece (v, k) assembly below; each residue's G is
+            # then a free major-axis slice.  The M ordering becomes
+            # p = v*(tps*wper) + k*wper + w and is restored to tile-major
+            # window order by an exact bf16 permutation matmul (permv_ref)
+            # applied to the narrow [M, bands] tensor before the per-tile
+            # Haar pass.
+            mrows = tps * wper
+            g_cat_re = jnp.concatenate(
+                [sel_re[v][:, 0:mrows, :] for v in range(vper)], axis=1)
+            g_cat_im = jnp.concatenate(
+                [sel_im[v][:, 0:mrows, :] for v in range(vper)], axis=1)
 
     # Width from the projection constants (out_ref may be the fused-select
     # cls output, whose lanes are not the band axis).
@@ -483,7 +499,10 @@ def _rows_kernel_v3(*refs,
         rows_acc = rows_acc + contrib
 
     for gi in range(n_res):
-        if step_level:
+        if vmaj:
+            g_re = g_cat_re[gi]
+            g_im = g_cat_im[gi]
+        elif step_level:
             g_re = jnp.concatenate(
                 [sel_re[v][gi, k * adv_rows:k * adv_rows + wper, :]
                  for k in range(tps) for v in range(vper)], axis=0)
@@ -536,9 +555,26 @@ def _rows_kernel_v3(*refs,
             rows_acc = jnp.dot(v_cat, proj_ref[:], precision=hi,
                                preferred_element_type=jnp.float32)
 
+    if vmaj:
+        # Restore tile-major window order.  permv is 0/1 — exact in bf16 —
+        # and each output row selects exactly ONE input row, so the two
+        # split-operand passes reconstruct hi+lo with no accumulation error
+        # (the same split error class as every other aux3 matmul here).
+        if aux3:
+            ah, al = split3(rows_acc)
+            rows_acc = (jnp.dot(permv_ref[:], ah,
+                                preferred_element_type=jnp.float32)
+                        + jnp.dot(permv_ref[:], al,
+                                  preferred_element_type=jnp.float32))
+        else:
+            rows_acc = jnp.dot(permv_ref[:], rows_acc, precision=hi,
+                               preferred_element_type=jnp.float32)
+
     # Un-permutation (x Haar row pass) applied per tile: the step-wide matrix
     # is block-diagonal with tps identical [rows, rows] blocks, so per-tile
-    # matmuls do tps-x fewer MACs for identical results.
+    # matmuls do tps-x fewer MACs for identical results.  Under vmaj the row
+    # permutation lives in permv above and perm_ref is the bare Haar matrix
+    # (or skipped entirely without fuse_haar).
     def unperm(acc_k):
         if aux3:
             ah, al = split3(acc_k)
@@ -551,8 +587,12 @@ def _rows_kernel_v3(*refs,
         return jnp.dot(perm_ref[:], acc_k, precision=hi,
                        preferred_element_type=jnp.float32)
 
-    out = jnp.concatenate(
-        [unperm(rows_acc[k * rows:(k + 1) * rows]) for k in range(tps)], axis=0)
+    if vmaj and not fuse_haar:
+        out = rows_acc
+    else:
+        out = jnp.concatenate(
+            [unperm(rows_acc[k * rows:(k + 1) * rows]) for k in range(tps)],
+            axis=0)
     if fuse_haar:
         if aux3:
             oh, ol = split3(out)
@@ -587,7 +627,8 @@ def v3_tiles_per_step(n_tiles: int) -> int:
 @partial(jax.jit, static_argnames=("config", "n_rows", "interpret", "fuse_haar",
                                    "batched_rolls", "aux_bf16x3", "tps_override",
                                    "proj_concat", "conj_pairs", "fuse_select",
-                                   "dense_pairs", "aux_two_pass", "cat_gk"))
+                                   "dense_pairs", "aux_two_pass", "cat_gk",
+                                   "vmaj"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
@@ -599,7 +640,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        fuse_select: bool = False,
                        dense_pairs: bool = False,
                        aux_two_pass: bool = False,
-                       cat_gk: bool = False) -> jnp.ndarray:
+                       cat_gk: bool = False,
+                       vmaj: bool = False) -> jnp.ndarray:
     # dense_pairs is a MEASURED NEGATIVE on v5e (scripts/ab_dense.py): the
     # 22% stage-2 MAC cut (2048 -> 1600 lanes) times out at 26.0 ms vs 24.9
     # ms per 128 parity clips because N=192 matmuls do not run
@@ -696,6 +738,36 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                     t2a_p[gi, :, nlan:] = t2a[_A - gi]
                     t2b_p[gi, :, nlan:] = -t2b[_A - gi]
             t2a, t2b = t2a_p, t2b_p
+    vmaj_on = vmaj and not batched_rolls
+    if tps_override is not None:
+        if n_tiles % tps_override:
+            raise ValueError("tps_override must divide the tile count")
+        tps = tps_override
+    else:
+        # Tiles per grid step: the dominant cost is per-step pipeline
+        # machinery (see scripts/bisect_v3_cost.py 'floor' variant), so
+        # fatter steps win while VMEM allows; 8 beats 4 beats 16 measured.
+        tps = v3_tiles_per_step(n_tiles)
+    if vmaj_on:
+        # v-major M layout (see _rows_kernel_v3): the row reordering moves
+        # out of the G concats into an exact 0/1 permutation matmul applied
+        # to the [M, bands] tensor; the per-tile pass keeps only the Haar
+        # matrix (or nothing).
+        vperw = _LANE // hop
+        wperw = rpf // vperw
+        permv = np.zeros((tps * rpf, tps * rpf), np.float32)
+        for kk in range(tps):
+            for j in range(rpf):
+                w, v = divmod(j, vperw)
+                permv[kk * rpf + j, v * (tps * wperw) + kk * wperw + w] = 1.0
+        if fuse_haar:
+            from lbaudiodetective_tpu.ops.haar import haar_matrix
+
+            perm = haar_matrix(rpf).astype(np.float32)
+        else:
+            perm = np.eye(rpf, dtype=np.float32)
+    else:
+        permv = np.zeros((8, 128), np.float32)          # unused placeholder
     cat = cat_gk and conj and not dense
     if cat:
         # Stack A over B on the contraction axis: x = [g_re | g_im] @ [A; B].
@@ -714,15 +786,6 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         perm = np.stack(_split_bf16(perm))
         h_cols_t = np.stack(_split_bf16(h_cols_t))
 
-    if tps_override is not None:
-        if n_tiles % tps_override:
-            raise ValueError("tps_override must divide the tile count")
-        tps = tps_override
-    else:
-        # Tiles per grid step: the dominant cost is per-step pipeline
-        # machinery (see scripts/bisect_v3_cost.py 'floor' variant), so
-        # fatter steps win while VMEM allows; 8 beats 4 beats 16 measured.
-        tps = v3_tiles_per_step(n_tiles)
     n_steps = n_tiles // tps
 
     adv_rows = (rpf * hop) // _LANE                     # rows per tile advance
@@ -762,7 +825,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     grid_spec = pl.GridSpec(
         grid=(batch, n_steps),
         in_specs=[blk_spec(k) for k in range(n_blk)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=out_specs,
     )
     kernel = partial(_rows_kernel_v3, span_rows=span_rows, window=window,
@@ -775,7 +838,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      two_pass=two_pass, fuse_select=fuse_select,
                      dense_pairs=dense,
                      aux2=(two_pass or aux_two_pass) and not interpret,
-                     cat_gk=cat)
+                     cat_gk=cat, vmaj=vmaj_on)
+    permv_dtype = jnp.bfloat16 if (aux3 and vmaj_on) else jnp.float32
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -786,4 +850,5 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
             dimension_semantics=("parallel", "arbitrary")),
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
-      jnp.asarray(perm), jnp.asarray(h_cols_t))
+      jnp.asarray(perm), jnp.asarray(h_cols_t),
+      jnp.asarray(permv, dtype=permv_dtype))

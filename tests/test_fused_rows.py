@@ -107,3 +107,37 @@ def test_v3_fuse_select_matches_two_stage():
         audio, cfg, n_rows, interpret=True, fuse_haar=True,
         fuse_select=True)).reshape(-1, 128)
     np.testing.assert_array_equal(cls_fused, cls_two)
+
+
+@pytest.mark.parametrize("stride_cfg,n_rows", [
+    (dict(), 256),                                      # parity hop 8
+    (dict(hop_domain="proc"), 256),                     # deployment hop 64
+    (dict(hop_domain="proc", analysis_stride=128), 256),  # hop 128, vper=1
+])
+def test_v3_vmaj_matches_shipped(stride_cfg, n_rows):
+    """v-major G assembly (shared 16-piece concat + exact permutation
+    matmul) must reproduce the shipped layout: bit-identical without the
+    Haar pass (the permutation matmul is an exact row selection), and equal
+    up to f32 summation-order noise with it (P-then-H vs the fused H@PERM
+    sums the same products in a different K order)."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+
+    cfg = FingerprintConfig(**stride_cfg)
+    hop = cfg.hop_in_processing_samples
+    if not (cfg.has_integer_hop and 128 % int(hop) == 0
+            and cfg.rows_per_frame % (128 // int(hop)) == 0):
+        pytest.skip("geometry not eligible for v3")
+    t_pad = required_padded_length(cfg, n_rows)
+    rng = np.random.default_rng(53)
+    audio = jnp.asarray((np.cumsum(rng.standard_normal((2, t_pad)), axis=1)
+                         * 0.01).astype(np.float32))
+    raw0 = np.asarray(fused_band_rows_v3(audio, cfg, n_rows, interpret=True))
+    raw1 = np.asarray(fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                         vmaj=True))
+    np.testing.assert_array_equal(raw0, raw1)
+    h0 = np.asarray(fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                       fuse_haar=True))
+    h1 = np.asarray(fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                       fuse_haar=True, vmaj=True))
+    np.testing.assert_allclose(h1, h0, rtol=1e-5,
+                               atol=1e-6 * float(np.abs(h0).max()))

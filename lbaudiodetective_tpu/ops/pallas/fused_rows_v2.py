@@ -302,7 +302,7 @@ def _rows_kernel_v3(*refs,
                     cat_gk: bool = False, vmaj: bool = False):
     blk_refs = refs[:n_blk]
     (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
-     perm_ref, hcols_ref, permv_ref, out_ref) = refs[n_blk:]
+     perm_ref, hcols_ref, out_ref) = refs[n_blk:]
     hi = precision
     full = jnp.concatenate([b[0, 0] for b in blk_refs], axis=0)  # [K*u, 128]
     qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
@@ -463,10 +463,9 @@ def _rows_kernel_v3(*refs,
             # 16-piece concat shared by every residue replaces the per-
             # residue 128-piece (v, k) assembly below; each residue's G is
             # then a free major-axis slice.  The M ordering becomes
-            # p = v*(tps*wper) + k*wper + w and is restored to tile-major
-            # window order by an exact bf16 permutation matmul (permv_ref)
-            # applied to the narrow [M, bands] tensor before the per-tile
-            # Haar pass.
+            # p = v*(tps*wper) + k*wper + w and is restored to per-tile
+            # (v, w) order by re-slicing the narrow [M, bands] tensor
+            # after the band projection (tile_acc below).
             mrows = tps * wper
             g_cat_re = jnp.concatenate(
                 [sel_re[v][:, 0:mrows, :] for v in range(vper)], axis=1)
@@ -556,25 +555,27 @@ def _rows_kernel_v3(*refs,
                                preferred_element_type=jnp.float32)
 
     if vmaj:
-        # Restore tile-major window order.  permv is 0/1 — exact in bf16 —
-        # and each output row selects exactly ONE input row, so the two
-        # split-operand passes reconstruct hi+lo with no accumulation error
-        # (the same split error class as every other aux3 matmul here).
-        if aux3:
-            ah, al = split3(rows_acc)
-            rows_acc = (jnp.dot(permv_ref[:], ah,
-                                preferred_element_type=jnp.float32)
-                        + jnp.dot(permv_ref[:], al,
-                                  preferred_element_type=jnp.float32))
-        else:
-            rows_acc = jnp.dot(permv_ref[:], rows_acc, precision=hi,
-                               preferred_element_type=jnp.float32)
+        # Restore per-tile (v, w) row order by re-slicing the NARROW
+        # post-projection tensor: tile k's v-piece sits at rows
+        # [v*tps*wper + k*wper, +wper).  Same piece count as the shipped
+        # G assembly but on [.., bands] f32 once per step instead of on
+        # two [.., 128] planes per residue — ~72x less copied bytes.
+        # Values are identical to the shipped layout (M-order permutes
+        # rows of independent dot products), so everything downstream is
+        # bit-exact.
+        mrows = tps * wper
+
+        def tile_acc(k):
+            return jnp.concatenate(
+                [rows_acc[v * mrows + k * wper:v * mrows + (k + 1) * wper]
+                 for v in range(vper)], axis=0)
+    else:
+        def tile_acc(k):
+            return rows_acc[k * rows:(k + 1) * rows]
 
     # Un-permutation (x Haar row pass) applied per tile: the step-wide matrix
     # is block-diagonal with tps identical [rows, rows] blocks, so per-tile
-    # matmuls do tps-x fewer MACs for identical results.  Under vmaj the row
-    # permutation lives in permv above and perm_ref is the bare Haar matrix
-    # (or skipped entirely without fuse_haar).
+    # matmuls do tps-x fewer MACs for identical results.
     def unperm(acc_k):
         if aux3:
             ah, al = split3(acc_k)
@@ -587,12 +588,7 @@ def _rows_kernel_v3(*refs,
         return jnp.dot(perm_ref[:], acc_k, precision=hi,
                        preferred_element_type=jnp.float32)
 
-    if vmaj and not fuse_haar:
-        out = rows_acc
-    else:
-        out = jnp.concatenate(
-            [unperm(rows_acc[k * rows:(k + 1) * rows]) for k in range(tps)],
-            axis=0)
+    out = jnp.concatenate([unperm(tile_acc(k)) for k in range(tps)], axis=0)
     if fuse_haar:
         if aux3:
             oh, ol = split3(out)
@@ -748,26 +744,6 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         # machinery (see scripts/bisect_v3_cost.py 'floor' variant), so
         # fatter steps win while VMEM allows; 8 beats 4 beats 16 measured.
         tps = v3_tiles_per_step(n_tiles)
-    if vmaj_on:
-        # v-major M layout (see _rows_kernel_v3): the row reordering moves
-        # out of the G concats into an exact 0/1 permutation matmul applied
-        # to the [M, bands] tensor; the per-tile pass keeps only the Haar
-        # matrix (or nothing).
-        vperw = _LANE // hop
-        wperw = rpf // vperw
-        permv = np.zeros((tps * rpf, tps * rpf), np.float32)
-        for kk in range(tps):
-            for j in range(rpf):
-                w, v = divmod(j, vperw)
-                permv[kk * rpf + j, v * (tps * wperw) + kk * wperw + w] = 1.0
-        if fuse_haar:
-            from lbaudiodetective_tpu.ops.haar import haar_matrix
-
-            perm = haar_matrix(rpf).astype(np.float32)
-        else:
-            perm = np.eye(rpf, dtype=np.float32)
-    else:
-        permv = np.zeros((8, 128), np.float32)          # unused placeholder
     cat = cat_gk and conj and not dense
     if cat:
         # Stack A over B on the contraction axis: x = [g_re | g_im] @ [A; B].
@@ -825,7 +801,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     grid_spec = pl.GridSpec(
         grid=(batch, n_steps),
         in_specs=[blk_spec(k) for k in range(n_blk)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=out_specs,
     )
     kernel = partial(_rows_kernel_v3, span_rows=span_rows, window=window,
@@ -839,7 +815,6 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      dense_pairs=dense,
                      aux2=(two_pass or aux_two_pass) and not interpret,
                      cat_gk=cat, vmaj=vmaj_on)
-    permv_dtype = jnp.bfloat16 if (aux3 and vmaj_on) else jnp.float32
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -850,5 +825,4 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
             dimension_semantics=("parallel", "arbitrary")),
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
-      jnp.asarray(perm), jnp.asarray(h_cols_t),
-      jnp.asarray(permv, dtype=permv_dtype))
+      jnp.asarray(perm), jnp.asarray(h_cols_t))

@@ -115,11 +115,14 @@ def test_v3_fuse_select_matches_two_stage():
     (dict(hop_domain="proc", analysis_stride=128), 256),  # hop 128, vper=1
 ])
 def test_v3_vmaj_matches_shipped(stride_cfg, n_rows):
-    """v-major G assembly (shared 16-piece concat + exact permutation
-    matmul) must reproduce the shipped layout: bit-identical without the
-    Haar pass (the permutation matmul is an exact row selection), and equal
-    up to f32 summation-order noise with it (P-then-H vs the fused H@PERM
-    sums the same products in a different K order)."""
+    """v-major G assembly (shared 16-piece concat + narrow post-projection
+    re-slice) must reproduce the shipped layout: the M reorder only
+    permutes rows of independent dot products and the re-slice restores
+    them before the unchanged per-tile perm/Haar matmuls.  Without the
+    Haar pass this is bit-exact even in interpret mode; with it, CPU XLA
+    may pick a different dot reduction strategy for the concat-provenance
+    operand (~1 ulp) — on the real TPU the MXU reduction order is fixed
+    and scripts/ab_vmaj.py measured 1.000 sign-class agreement."""
     from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
 
     cfg = FingerprintConfig(**stride_cfg)

@@ -7,6 +7,10 @@ Covers both kernel precisions:
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_corpus_parity.py
 Runtime: ~10-20 min cold (remote compiles), ~3 min warm.
+
+NOTE: the committed TPU_PARITY_r03.md includes the 6-pass "highest" tier —
+regenerating WITHOUT ``--highest`` drops that section; pass ``--highest``
+(adds one more extraction sweep) to rewrite the complete file.
 """
 
 import pathlib

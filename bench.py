@@ -216,6 +216,45 @@ def bench_million_track(config, s_max: int = 64, chunk: int = 65536,
     return dt, l
 
 
+def bench_million_track_search(config, s_max: int = 64, iters: int = 5):
+    """Two-stage coarse->exact search (FingerprintLibrary.search) against the
+    same 1M-track packed library: stride-4 / range-64 coarse shortlist of
+    1024, exact re-score.  Times the REAL host-driven API (per-chunk
+    dispatch + host top-k + device gather re-score), wall-clock, min of
+    ``iters``; ranking correctness is asserted in tests/test_library.py."""
+    from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+    from lbaudiodetective_tpu.utils.packing import words_per_plane
+
+    l = 1_048_576
+    pairs = config.num_wavelet_pairs
+    w = words_per_plane(pairs)
+    rng = np.random.default_rng(5)
+    lib = FingerprintLibrary(
+        rng.integers(0, 2**32, size=(l, s_max, w), dtype=np.uint32),
+        rng.integers(0, 2**32, size=(l, s_max, w), dtype=np.uint32),
+        np.full(l, s_max, np.int32), pairs, config)
+    jax.block_until_ready((lib.pos_words, lib.neg_words))
+    pos = (rng.random((s_max, pairs)) < 0.45).astype(np.uint8)
+    neg = ((rng.random((s_max, pairs)) < 0.45) & (pos == 0)).astype(np.uint8)
+    query = Fingerprint(pos, neg)
+
+    def run():
+        idx, scores = lib.search(query, top_k=5, shortlist=1024,
+                                 coarse_range=64, coarse_stride=4)
+        return float(scores[0])
+
+    run()                                        # compile + coarse cache
+    best = 0.0
+    dts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        best = run()                             # host fetches => real wait
+        dts.append(time.perf_counter() - t0)
+    assert best >= 0.0
+    return min(dts), l
+
+
 def make_bench_dedup_block(config, lr: int = 1024, lv: int = 16,
                            s_max: int = 64):
     """Pod-scale dedup unit cost: one resident-vs-visiting packed block tile
@@ -406,6 +445,11 @@ def main():
             q_dt, l = bench_million_track(parity_cfg)
         details["million_track_query_seconds"] = q_dt
         details["million_track_library_size"] = l
+        with timers.stage("million_track_search"):
+            s_dt, _ = bench_million_track_search(parity_cfg)
+        details["million_track_search_seconds"] = s_dt
+        details["million_track_search_params"] = {
+            "shortlist": 1024, "coarse_range": 64, "coarse_stride": 4}
     if "--dedup" in sys.argv:
         runs_dd = []
         run_dd = make_bench_dedup_block(parity_cfg)

@@ -62,21 +62,27 @@ def match_one_vs_many_packed(q_pos_w, q_neg_w, n_query,
     """
     from lbaudiodetective_tpu.ops.match import _both_orientation_scores
 
-    mask_w = jnp.asarray(_mask_words(pairs, comparison_range,
-                                     subfingerprint_length))
+    mask_np = _mask_words(pairs, comparison_range, subfingerprint_length)
+    mask_w = jnp.asarray(mask_np)
     lp = lib_pos_w & mask_w
     ln = lib_neg_w & mask_w
     qp = q_pos_w & mask_w
     qn = q_neg_w & mask_w
 
     # hits[l, i, j] summed over words (python loop keeps peak memory at one
-    # [L, Sl, Sq] plane).
+    # [L, Sl, Sq] plane).  Words fully masked by a short comparison_range
+    # are statically known to contribute 0 — skip them (a range-64 coarse
+    # pass over pairs=100 planes touches 1 word instead of 4).
     w = lp.shape[-1]
     hits = None
     for k in range(w):
+        if int(mask_np[k]) == 0:
+            continue
         h = (jax.lax.population_count(lp[..., k][..., None] & qp[:, k][None, None, :])
              + jax.lax.population_count(ln[..., k][..., None] & qn[:, k][None, None, :]))
         hits = h if hits is None else hits + h
+    if hits is None:
+        hits = jnp.zeros(lp.shape[:2] + (qp.shape[0],), jnp.int32)
     hits = hits.astype(jnp.float32)                               # [L, Sl, Sq]
 
     w_lib = jnp.sum(jax.lax.population_count(lp | ln), axis=-1).astype(jnp.float32)
@@ -87,3 +93,60 @@ def match_one_vs_many_packed(q_pos_w, q_neg_w, n_query,
     l = lib_pos_w.shape[0]
     nq = jnp.broadcast_to(n_query, (l,))
     return _both_orientation_scores(hits, inv_lib, inv_q, n_lib, nq)
+
+
+@partial(jax.jit, static_argnames=("pairs", "comparison_range",
+                                   "subfingerprint_length", "coarse_range",
+                                   "chunk", "shortlist", "top_k"))
+def two_stage_search_packed(q_pos_w, q_neg_w, n_query,
+                            qc_pos_w, qc_neg_w, n_query_c,
+                            lib_pos_w, lib_neg_w, n_lib,
+                            libc_pos_w, libc_neg_w, n_lib_c,
+                            pairs: int,
+                            comparison_range: int = 0,
+                            subfingerprint_length: int = 200,
+                            coarse_range: int = 64,
+                            chunk: int = 65536,
+                            shortlist: int = 1024,
+                            top_k: int = 5):
+    """Coarse->exact library search in ONE device dispatch.
+
+    The coarse planes (``libc_*``: subfingerprint axis subsampled, entry
+    axis zero-padded to a ``chunk`` multiple) are scanned chunkwise with
+    ``lax.map`` (bounding the [chunk, Sc, Sc] hit transient), the
+    ``shortlist`` best coarse entries are picked with an on-device
+    ``top_k``, gathered from the FULL planes, and re-scored exactly.
+    Returns ``(indices[top_k], exact scores[top_k])`` by descending exact
+    score — no host round-trip until the final [top_k] fetch, which is
+    what makes this fast over a high-latency link (the host-chunked
+    variant measured 0.87 s vs 0.39 s for even a FULL scan at 1M).
+    """
+    lp = libc_pos_w.shape[0]
+    sc_len, w = libc_pos_w.shape[1], libc_pos_w.shape[2]
+    n_chunks = lp // chunk
+
+    def body(i):
+        start = i * chunk
+        return match_one_vs_many_packed(
+            qc_pos_w, qc_neg_w, n_query_c,
+            jax.lax.dynamic_slice(libc_pos_w, (start, 0, 0), (chunk, sc_len, w)),
+            jax.lax.dynamic_slice(libc_neg_w, (start, 0, 0), (chunk, sc_len, w)),
+            jax.lax.dynamic_slice(n_lib_c, (start,), (chunk,)),
+            pairs, coarse_range, subfingerprint_length)
+
+    if n_chunks > 1:
+        coarse = jax.lax.map(body, jnp.arange(n_chunks)).reshape(lp)
+    else:
+        coarse = body(jnp.int32(0))
+    l = lib_pos_w.shape[0]
+    coarse = jnp.where(jnp.arange(lp) < l, coarse, -jnp.inf)
+    _, cand = jax.lax.top_k(coarse, shortlist)
+
+    exact = match_one_vs_many_packed(
+        q_pos_w, q_neg_w, n_query,
+        jnp.take(lib_pos_w, cand, axis=0),
+        jnp.take(lib_neg_w, cand, axis=0),
+        jnp.take(n_lib, cand, axis=0),
+        pairs, comparison_range, subfingerprint_length)
+    top_scores, oi = jax.lax.top_k(exact, top_k)
+    return jnp.take(cand, oi), top_scores

@@ -70,3 +70,53 @@ def test_match_many_equals_per_query(corpus_library):
     ref = np.stack([lib.match(q) for q in queries])
     np.testing.assert_allclose(got, ref, atol=1e-6)
     assert lib.match_many([]).shape == (0, len(lib))
+
+
+def test_search_two_stage_recovers_brute_force(corpus_library):
+    """search() with a shortlist smaller than the library (coarse pass
+    engaged) must return the brute-force best entry with its EXACT score."""
+    det, fps, lib = corpus_library
+    for qname, want in [("Chaffinch_eql", 2), ("BlueTit_eql", 1)]:
+        query = det.process_audio_file(corpus_path(qname))
+        brute = lib.match(query)
+        idx, scores = lib.search(query, top_k=2, shortlist=3,
+                                 coarse_stride=2, coarse_range=64)
+        assert idx[0] == want == int(np.argmax(brute))
+        np.testing.assert_allclose(scores[0], brute[want], atol=1e-7)
+        assert scores[0] >= scores[1]
+
+
+def test_search_small_library_is_exact_sort(corpus_library):
+    """l <= shortlist short-circuits to the exact matcher: results must be
+    the full brute-force ranking."""
+    det, fps, lib = corpus_library
+    query = det.process_audio_file(corpus_path("Chaffinch_eql"))
+    brute = lib.match(query)
+    idx, scores = lib.search(query, top_k=len(lib), shortlist=len(lib))
+    np.testing.assert_array_equal(idx, np.argsort(-brute, kind="stable"))
+    np.testing.assert_allclose(scores, brute[idx])
+
+
+def test_search_synthetic_recall():
+    """Recall on a synthetic 64-entry library of perturbed variants: the
+    true (least-perturbed) entry must survive a stride-4/range-64 coarse
+    pass at shortlist=8, across chunked coarse dispatches."""
+    from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+
+    rng = np.random.default_rng(7)
+    s, pairs = 48, 100
+    base_pos = (rng.random((s, pairs)) < 0.45).astype(np.uint8)
+    base_neg = ((rng.random((s, pairs)) < 0.45) & (base_pos == 0)).astype(np.uint8)
+    fps = []
+    for i in range(64):
+        flips = (rng.random((s, pairs)) < (0.02 if i == 11 else 0.30))
+        pos = np.where(flips, 1 - base_pos, base_pos).astype(np.uint8)
+        neg = np.where(flips & (pos == 0), 1 - base_neg, base_neg * (1 - pos)).astype(np.uint8)
+        fps.append(Fingerprint(pos, neg))
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+    query = Fingerprint(base_pos, base_neg)
+    brute = lib.match(query)
+    assert int(np.argmax(brute)) == 11
+    idx, scores = lib.search(query, top_k=1, shortlist=8, chunk=16)
+    assert idx[0] == 11
+    np.testing.assert_allclose(scores[0], brute[11], atol=1e-7)

@@ -233,6 +233,68 @@ class FingerprintLibrary:
             coarse_range, chunk, shortlist, top_k)
         return np.asarray(idx).astype(np.int64), np.asarray(scores)
 
+    def search_many(self, queries: list[Fingerprint], top_k: int = 5,
+                    comparison_range: int = 0, shortlist: int = 1024,
+                    coarse_range: int = 64, coarse_stride: int = 4,
+                    chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+        """Batched ``search``: B queries in one vmapped dispatch ->
+        ``(indices [B, top_k], exact scores [B, top_k])`` — the serving
+        batcher's large-library stage."""
+        import jax
+
+        from lbaudiodetective_tpu.ops.match_packed import (
+            two_stage_search_packed)
+
+        self.config.warn_if_unvalidated_for_identification()
+        if not queries:
+            return (np.zeros((0, top_k), np.int64),
+                    np.zeros((0, top_k), np.float32))
+        l = len(self)
+        if l <= shortlist:
+            scores = self.match_many(queries, comparison_range)
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :top_k]
+            return (idx.astype(np.int64),
+                    np.take_along_axis(scores, idx, axis=1))
+        s = int(self.pos_words.shape[1])
+        b = len(queries)
+        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
+        qn = np.zeros_like(qp)
+        nq = np.zeros(b, np.int32)
+        for i, q in enumerate(queries):
+            n = min(q.num_subfingerprints, s)
+            nq[i] = n
+            qp[i, :n] = q.pos[:n]
+            qn[i, :n] = q.neg[:n]
+        chunk = min(chunk, l)
+        key = (coarse_stride, chunk)
+        if key not in self._coarse_cache:
+            pad = (-l) % chunk
+            self._coarse_cache[key] = (
+                jnp.pad(self.pos_words[:, ::coarse_stride],
+                        ((0, pad), (0, 0), (0, 0))),
+                jnp.pad(self.neg_words[:, ::coarse_stride],
+                        ((0, pad), (0, 0), (0, 0))),
+                jnp.pad(-(-self.counts // coarse_stride), (0, pad)))
+        lp_c, ln_c, cnt_c = self._coarse_cache[key]
+
+        def one(qpw, qnw, n, qcp, qcn, n_c):
+            return two_stage_search_packed(
+                qpw, qnw, n, qcp, qcn, n_c,
+                self.pos_words, self.neg_words, self.counts,
+                lp_c, ln_c, cnt_c,
+                self.pairs, comparison_range,
+                self.config.subfingerprint_length,
+                coarse_range, chunk, shortlist, min(top_k, l))
+
+        idx, scores = jax.vmap(one)(
+            pack_bits_device(jnp.asarray(qp)),
+            pack_bits_device(jnp.asarray(qn)),
+            jnp.asarray(nq),
+            pack_bits_device(jnp.asarray(qp[:, ::coarse_stride])),
+            pack_bits_device(jnp.asarray(qn[:, ::coarse_stride])),
+            jnp.asarray(-(-nq // coarse_stride)))
+        return np.asarray(idx).astype(np.int64), np.asarray(scores)
+
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:

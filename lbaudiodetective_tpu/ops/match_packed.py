@@ -123,6 +123,9 @@ def two_stage_search_packed(q_pos_w, q_neg_w, n_query,
     """
     lp = libc_pos_w.shape[0]
     sc_len, w = libc_pos_w.shape[1], libc_pos_w.shape[2]
+    if lp % chunk:
+        raise ValueError("coarse plane entry axis must be zero-padded to a "
+                         "multiple of chunk")
     n_chunks = lp // chunk
 
     def body(i):

@@ -208,3 +208,73 @@ def ring_dedup_topk_packed(pos_w, neg_w, counts, pairs: int, mesh: Mesh,
         return best_scores, best_idx
 
     return run(pos_w, neg_w, counts)
+
+
+def search_library_sharded_packed(q_pos_w, q_neg_w, n_query,
+                                  qc_pos_w, qc_neg_w, n_query_c,
+                                  lib_pos_w, lib_neg_w, n_lib,
+                                  libc_pos_w, libc_neg_w, n_lib_c,
+                                  pairs: int, mesh: Mesh,
+                                  comparison_range: int = 0,
+                                  subfingerprint_length: int = 200,
+                                  coarse_range: int = 64,
+                                  chunk: int = 65536,
+                                  shortlist: int = 1024,
+                                  top_k: int = 5):
+    """Two-stage coarse->exact search with the packed library sharded over
+    ``"library"`` (models.library.FingerprintLibrary.search semantics at
+    pod scale).
+
+    Each device runs the fused coarse-scan -> top-k -> gather -> exact
+    re-score on its resident shard (``shortlist``/``chunk`` apply
+    per-shard) and contributes its local top-k with globally-offset
+    indices; the ``[n_shards * top_k]`` candidates are merged host-side.
+    Exact whenever every true global top-k entry survives its own shard's
+    shortlist — the same recall property as the single-device search,
+    per shard.  Returns ``(indices [top_k], exact scores [top_k])``.
+    """
+    from lbaudiodetective_tpu.ops.match_packed import two_stage_search_packed
+
+    import numpy as np
+
+    n_sh = mesh.shape["library"]
+    shard = NamedSharding(mesh, P("library", None, None))
+    cnt_sh = NamedSharding(mesh, P("library"))
+    rep = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P("library"))
+    l_local = lib_pos_w.shape[0] // n_sh
+    chunk = min(chunk, libc_pos_w.shape[0] // n_sh)
+    shortlist = min(shortlist, l_local)
+    k_local = min(top_k, l_local)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep, rep, rep, rep,
+                      shard, shard, cnt_sh, shard, shard, cnt_sh),
+        out_shardings=(out_sh, out_sh),
+    )
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(),
+                  P("library", None, None), P("library", None, None),
+                  P("library"),
+                  P("library", None, None), P("library", None, None),
+                  P("library")),
+        out_specs=(P("library"), P("library")),
+    )
+    def run(qp, qn, nq, qcp, qcn, nqc, lp, ln, nl, lcp, lcn, nlc):
+        idx, sc = two_stage_search_packed(
+            qp, qn, nq, qcp, qcn, nqc, lp, ln, nl, lcp, lcn, nlc,
+            pairs, comparison_range, subfingerprint_length,
+            coarse_range, chunk, shortlist, k_local)
+        offset = jax.lax.axis_index("library").astype(idx.dtype) * l_local
+        return idx + offset, sc
+
+    idx_all, sc_all = run(q_pos_w, q_neg_w, n_query,
+                          qc_pos_w, qc_neg_w, n_query_c,
+                          lib_pos_w, lib_neg_w, n_lib,
+                          libc_pos_w, libc_neg_w, n_lib_c)
+    idx_all = np.asarray(idx_all)
+    sc_all = np.asarray(sc_all)
+    order = np.argsort(-sc_all, kind="stable")[:top_k]
+    return idx_all[order].astype(np.int64), sc_all[order]

@@ -144,3 +144,86 @@ def test_ring_dedup_packed_at_scale(mesh):
         for slot in range(k):
             np.testing.assert_allclose(full[i, idx[i, slot]], scores[i, slot],
                                        atol=1e-6)
+
+
+def test_search_library_sharded_packed_equals_single_device(mesh):
+    """Sharded two-stage search == FingerprintLibrary.search == brute force:
+    per-shard shortlists merged host-side, indices globally offset."""
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+    from lbaudiodetective_tpu.ops.match_packed import pack_bits_device
+    from lbaudiodetective_tpu.parallel.sharded_packed import (
+        search_library_sharded_packed)
+
+    rng = np.random.default_rng(71)
+    pairs, s_max, l = 100, 16, 64
+    sizes = rng.integers(4, s_max + 1, l).tolist()
+    fps, pos, neg, pos_w, neg_w, counts = _library(rng, sizes, s_max, pairs)
+    # Plant a near-duplicate of the query at index 37 so the true best must
+    # survive a shortlist smaller than the shard.
+    qp, qn = fps[5]
+    flips = rng.random(pos[5].shape) < 0.03
+    pos[37, : qp.shape[0]] = np.where(flips[: qp.shape[0]], 1 - qp, qp)
+    neg[37, : qp.shape[0]] = (1 - pos[37, : qp.shape[0]]) * neg[37, : qp.shape[0]]
+    counts[37] = sizes[5]
+    pos_w = packing.pack_bits(pos.reshape(-1, pairs)).reshape(l, s_max, -1)
+    neg_w = packing.pack_bits(neg.reshape(-1, pairs)).reshape(l, s_max, -1)
+
+    stride = 2
+    query = Fingerprint(np.asarray(pos[5][: sizes[5]]),
+                        np.asarray(neg[5][: sizes[5]]))
+    lib = FingerprintLibrary(pos_w, neg_w, counts, pairs, FingerprintConfig())
+    brute = lib.match(query)
+
+    s = s_max
+    qp_full = np.zeros((s, pairs), np.uint8)
+    qn_full = np.zeros((s, pairs), np.uint8)
+    qp_full[: sizes[5]] = query.pos
+    qn_full[: sizes[5]] = query.neg
+    idx, scores = search_library_sharded_packed(
+        pack_bits_device(jnp.asarray(qp_full)),
+        pack_bits_device(jnp.asarray(qn_full)), jnp.int32(sizes[5]),
+        pack_bits_device(jnp.asarray(qp_full[::stride])),
+        pack_bits_device(jnp.asarray(qn_full[::stride])),
+        jnp.int32(-(-sizes[5] // stride)),
+        jnp.asarray(pos_w), jnp.asarray(neg_w), jnp.asarray(counts),
+        jnp.asarray(pos_w[:, ::stride]), jnp.asarray(neg_w[:, ::stride]),
+        jnp.asarray(-(-counts // stride)),
+        pairs, mesh, coarse_range=64, shortlist=8, top_k=3)
+
+    # Exact scores for the returned candidates, and the true best on top.
+    assert idx[0] in (5, 37)
+    assert idx[0] == int(np.argmax(brute))
+    np.testing.assert_allclose(scores, brute[idx], atol=1e-6)
+    assert list(scores) == sorted(scores, reverse=True)
+
+    # Single-device two-stage search agrees on the winner and its score.
+    sidx, sscores = lib.search(query, top_k=3, shortlist=16,
+                               coarse_stride=stride, coarse_range=64)
+    assert sidx[0] == idx[0]
+    np.testing.assert_allclose(sscores[0], scores[0], atol=1e-6)
+
+
+def test_search_many_equals_per_query():
+    """Batched search_many == stacked single-query search (two-stage path)."""
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+
+    rng = np.random.default_rng(72)
+    pairs, s_max, l = 100, 12, 48
+    sizes = rng.integers(4, s_max + 1, l).tolist()
+    fps, pos, neg, pos_w, neg_w, counts = _library(rng, sizes, s_max, pairs)
+    lib = FingerprintLibrary(pos_w, neg_w, counts, pairs, FingerprintConfig())
+    queries = [Fingerprint(np.asarray(p), np.asarray(n)) for p, n in fps[:4]]
+    bidx, bsc = lib.search_many(queries, top_k=2, shortlist=16,
+                                coarse_stride=2, chunk=16)
+    assert bidx.shape == (4, 2) and bsc.shape == (4, 2)
+    for i, q in enumerate(queries):
+        si, ss = lib.search(q, top_k=2, shortlist=16, coarse_stride=2,
+                            chunk=16)
+        np.testing.assert_array_equal(bidx[i], si)
+        np.testing.assert_allclose(bsc[i], ss, atol=1e-6)
+    empty_i, empty_s = lib.search_many([], top_k=2)
+    assert empty_i.shape == (0, 2)

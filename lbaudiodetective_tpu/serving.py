@@ -12,6 +12,8 @@ Endpoints (JSON unless noted):
   GET  /healthz               -> {"ok": true, "tracks": N}
   POST /identify              body: raw CAF or WAV bytes
                               -> {"track": name, "score": s, "scores": {...}}
+                              (libraries above ``search_threshold``: the
+                              exact top-k "top" list replaces "scores")
   POST /fingerprint           body: raw CAF or WAV bytes
                               -> {"n": count, "fingerprint": "0110...+..."}
 
@@ -48,11 +50,18 @@ class IdentificationService:
     accelerator.  Results are identical to the unbatched path
     (extract_fingerprint_batch is bit-identical to per-clip extraction;
     tests/test_serving.py).
+
+    ``search_threshold`` selects the matching strategy by library size:
+    at or below it, brute-force scores for EVERY track are returned
+    (the ``"scores"`` dict); above it, the two-stage coarse->exact
+    search returns only the ``"top"`` list of ``top_k`` candidates with
+    exact scores (a 1M-track response cannot enumerate every track).
     """
 
     def __init__(self, library: FingerprintLibrary, names: list[str],
                  config: FingerprintConfig | None = None,
-                 batch_window_s: float = 0.0, max_batch: int = 8):
+                 batch_window_s: float = 0.0, max_batch: int = 8,
+                 search_threshold: int = 4096, top_k: int = 5):
         if len(names) != len(library):
             raise errors.InvalidArgumentError("names must match library size")
         self.library = library
@@ -66,8 +75,14 @@ class IdentificationService:
         self.max_batch = max_batch
         self._bcond = threading.Condition()
         self._pending: list[dict] = []
+        self.search_threshold = search_threshold
+        self.top_k = top_k
         #: Number of extraction device dispatches (observability + tests).
         self.extract_dispatches = 0
+
+    @property
+    def _use_search(self) -> bool:
+        return len(self.library) > self.search_threshold
 
     def _decode_bytes(self, payload: bytes):
         suffix = (".caf" if payload[:4] == b"caff"
@@ -91,11 +106,20 @@ class IdentificationService:
     def _respond(self, fp: Fingerprint) -> dict:
         if fp.num_subfingerprints == 0:
             raise errors.DecodeError("clip too short to fingerprint")
+        if self._use_search:
+            with self._lock:
+                idx, scores = self.library.search(fp, top_k=self.top_k)
+            return self._response_from_topk(idx, scores)
         with self._lock:            # one device dispatch per request
             scores = self.library.match(fp)
         best = int(np.argmax(scores))
         return {"track": self.names[best], "score": float(scores[best]),
                 "scores": {n: float(s) for n, s in zip(self.names, scores)}}
+
+    def _response_from_topk(self, idx, scores) -> dict:
+        return {"track": self.names[int(idx[0])], "score": float(scores[0]),
+                "top": [{"track": self.names[int(i)], "score": float(s)}
+                        for i, s in zip(idx, scores)]}
 
     def identify(self, payload: bytes) -> dict:
         if self.batch_window_s <= 0:
@@ -129,6 +153,8 @@ class IdentificationService:
             entry["done"].wait()
         if entry["error"] is not None:
             raise entry["error"]
+        if entry.get("topk") is not None:       # searched in the batch
+            return self._response_from_topk(*entry["topk"])
         if entry.get("scores") is not None:     # matched in the batch
             return self._response_from_scores(entry["scores"])
         return self._respond(entry["fp"])
@@ -156,11 +182,18 @@ class IdentificationService:
             matchable = [e for e in batch
                          if e["fp"].num_subfingerprints > 0]
             if matchable:
-                with self._lock:
-                    all_scores = self.library.match_many(
-                        [e["fp"] for e in matchable])
-                for e, s in zip(matchable, all_scores):
-                    e["scores"] = s
+                if self._use_search:
+                    with self._lock:
+                        idx, sc = self.library.search_many(
+                            [e["fp"] for e in matchable], top_k=self.top_k)
+                    for i, e in enumerate(matchable):
+                        e["topk"] = (idx[i], sc[i])
+                else:
+                    with self._lock:
+                        all_scores = self.library.match_many(
+                            [e["fp"] for e in matchable])
+                    for e, s in zip(matchable, all_scores):
+                        e["scores"] = s
         except Exception:  # noqa: BLE001 — isolate the failing clip(s):
             # re-run each clip individually so one pathological request
             # (e.g. a huge clip OOM-ing the padded batch) fails only itself,

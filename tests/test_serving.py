@@ -245,3 +245,52 @@ def test_http_identify_with_batching(decoded_corpus, default_config):
             assert body["track"] == b
     finally:
         srv.shutdown()
+
+
+def test_search_mode_topk_responses(decoded_corpus, default_config):
+    """Above search_threshold the service answers with exact top-k via the
+    two-stage search: same winner/score as brute force, 'top' list instead
+    of the full per-track scores dict — in both the unbatched and the
+    micro-batched paths."""
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+
+    fps = []
+    for b in BIRDS[:4]:
+        pos, neg, n = extract_fingerprint(decoded_corpus[b], default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:n]),
+                                           np.asarray(neg[:n])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    brute = IdentificationService(lib, BIRDS[:4], default_config)
+    searched = IdentificationService(lib, BIRDS[:4], default_config,
+                                     search_threshold=2, top_k=3)
+    payload = open(corpus_path(BIRDS[1] + "_eql"), "rb").read()
+    exp = brute.identify(payload)
+    got = searched.identify(payload)
+    assert "scores" not in got and len(got["top"]) == 3
+    assert got["track"] == exp["track"]
+    assert got["score"] == pytest.approx(exp["score"], abs=1e-6)
+    tops = [t["score"] for t in got["top"]]
+    assert tops == sorted(tops, reverse=True)
+
+    batched = IdentificationService(lib, BIRDS[:4], default_config,
+                                    batch_window_s=1.0, max_batch=2,
+                                    search_threshold=2, top_k=3)
+    payloads = [open(corpus_path(b + "_eql"), "rb").read() for b in BIRDS[:2]]
+    results = [None] * 2
+    errs = []
+
+    def worker(i):
+        try:
+            results[i] = batched.identify(payloads[i])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+    for i, b in enumerate(BIRDS[:2]):
+        assert results[i]["track"] == b
+        assert "top" in results[i] and "scores" not in results[i]

@@ -111,6 +111,13 @@ def cmd_identify(args) -> int:
 
     lib, names = _load_library(args.library)
     fp, _ = _extract(args.clip)
+    if args.top_k:
+        idx, sc = lib.search(fp, top_k=args.top_k)
+        out = {"track": names[int(idx[0])], "score": round(float(sc[0]), 4),
+               "top": [{"track": names[int(i)], "score": round(float(s), 4)}
+                       for i, s in zip(idx, sc)]}
+        print(json.dumps(out))
+        return 0
     scores = np.asarray(lib.match(fp))
     best = int(scores.argmax())
     out = {"track": names[best], "score": round(float(scores[best]), 4)}
@@ -157,6 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("clip")
     i.add_argument("--library", required=True)
     i.add_argument("--all-scores", action="store_true")
+    i.add_argument("--top-k", type=int, default=0, metavar="K",
+                   help="answer with the exact top-K via two-stage "
+                        "coarse->exact search (large libraries)")
     i.set_defaults(fn=cmd_identify)
 
     s = sub.add_parser("serve", help="run the HTTP identification server")

@@ -40,6 +40,22 @@ def test_compare_and_fingerprint(capsys):
     assert set(s) <= {"0", "1", "+"} and len(s) > 100
 
 
+def test_identify_top_k(tiny_corpus, tmp_path, capsys):
+    """--top-k answers with a ranked exact top-k list (two-stage search
+    path on large libraries; exact path on small ones)."""
+    lib = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(tiny_corpus), "-o", lib]) == 0
+    capsys.readouterr()
+    crop = str(BIRDS_DIR / "Cropped/Equal" / "BlackBird_eql.caf")
+    assert main(["identify", crop, "--library", lib, "--top-k", "2"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["track"] == "BlackBird"
+    assert [e["track"] for e in out["top"]][0] == "BlackBird"
+    assert len(out["top"]) == 2
+    scores = [e["score"] for e in out["top"]]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_enroll_empty_dir(tmp_path):
     assert main(["enroll", str(tmp_path), "-o", str(tmp_path / "x.npz")]) == 2
 

@@ -1,5 +1,5 @@
 """AIFF / AIFF-C decoding (big-endian PCM 8/16/24/32-bit, 'sowt'
-little-endian PCM, 'fl32'/'fl64' float), pure NumPy.
+little-endian PCM, 'fl32'/'fl64' float, 'ulaw'/'alaw' G.711), pure NumPy.
 
 The reference accepts any container AudioToolbox can open
 (LBAudioDetective.h:210-235); AIFF is the classic Apple interchange format,
@@ -113,6 +113,9 @@ def read_aiff(path: str) -> tuple[np.ndarray, float]:
         x = np.frombuffer(whole(ssnd, 4), ">f4").astype(np.float32)
     elif comp in (b"fl64", b"FL64"):
         x = np.frombuffer(whole(ssnd, 8), ">f8").astype(np.float32)
+    elif comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        from lbaudiodetective_tpu.io.g711 import decode_alaw, decode_mulaw
+        x = (decode_mulaw if comp.lower() == b"ulaw" else decode_alaw)(ssnd)
     else:
         raise UnsupportedFormatError(
             f"unsupported AIFF-C compression type {comp!r}")

@@ -162,6 +162,15 @@ def read_caf(path: str) -> tuple[np.ndarray, float]:
         samples = decode_ima4(caf.data, caf.valid_frames)
     elif fmt == "lpcm":
         samples = decode_lpcm(caf.data, caf.desc)
+    elif fmt in ("ulaw", "alaw"):
+        from lbaudiodetective_tpu.io.g711 import decode_alaw, decode_mulaw
+        samples = (decode_mulaw if fmt == "ulaw" else decode_alaw)(caf.data)
+        if caf.desc.channels_per_frame > 1:
+            c = caf.desc.channels_per_frame
+            samples = samples[:(samples.size // c) * c].reshape(-1, c).mean(1)
+        if 0 <= caf.valid_frames < samples.size:
+            samples = samples[:caf.valid_frames]
+        samples = np.ascontiguousarray(samples, np.float32)
     else:
         raise UnsupportedFormatError(f"unsupported CAF codec {fmt!r}")
     return samples, caf.desc.sample_rate

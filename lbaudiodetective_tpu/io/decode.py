@@ -57,7 +57,13 @@ def _read_file(path: str) -> tuple[np.ndarray, float]:
     except Exception:
         native = None
     if native is not None and native.available():
-        return native.read_caf(path)
+        try:
+            return native.read_caf(path)
+        except Exception:
+            # A codec the built .so predates (or a native-only failure):
+            # the NumPy reader is the behavioural source of truth — let it
+            # either decode the file or raise the typed error.
+            return _caf.read_caf(path)
     return _caf.read_caf(path)
 
 

@@ -80,6 +80,45 @@ void decode_ima4(const uint8_t* data, size_t size, int64_t valid_frames,
         out->resize(static_cast<size_t>(valid_frames));
 }
 
+// ITU-T G.711 expansion (same scalar formulas as io/g711.py; the NumPy
+// path builds its 256-entry tables from them, so the two paths agree
+// bit-exactly).
+inline int mulaw_expand(uint8_t u8) {
+    int u = ~u8 & 0xFF;
+    int sign = u & 0x80;
+    int exponent = (u >> 4) & 0x07;
+    int mantissa = u & 0x0F;
+    int t = (((mantissa << 3) + 0x84) << exponent) - 0x84;
+    return sign ? -t : t;
+}
+inline int alaw_expand(uint8_t a8) {
+    int a = a8 ^ 0x55;
+    int sign = a & 0x80;
+    int seg = (a >> 4) & 0x07;
+    int t = (a & 0x0F) << 4;
+    if (seg == 0) t += 8;
+    else if (seg == 1) t += 0x108;
+    else t = (t + 0x108) << (seg - 1);
+    return sign ? t : -t;
+}
+
+void decode_g711(const uint8_t* data, size_t size, bool mulaw,
+                 uint32_t channels, int64_t valid_frames,
+                 std::vector<float>* out) {
+    const size_t frames = size / channels;
+    out->resize(frames);
+    for (size_t f = 0; f < frames; ++f) {
+        double acc = 0.0;
+        for (uint32_t ch = 0; ch < channels; ++ch) {
+            uint8_t b = data[f * channels + ch];
+            acc += (mulaw ? mulaw_expand(b) : alaw_expand(b)) / 32768.0;
+        }
+        (*out)[f] = static_cast<float>(acc / channels);
+    }
+    if (valid_frames >= 0 && static_cast<size_t>(valid_frames) < out->size())
+        out->resize(static_cast<size_t>(valid_frames));
+}
+
 void decode_lpcm(const uint8_t* data, size_t size, uint32_t flags,
                  uint32_t bits, uint32_t channels, std::vector<float>* out) {
     const bool is_float = flags & 1;
@@ -181,6 +220,10 @@ int lbad_read_caf(const char* path, float** out_samples, int64_t* out_n,
         decode_ima4(data_chunk, data_size, valid_frames, &samples);
     } else if (std::strcmp(fmt, "lpcm") == 0) {
         decode_lpcm(data_chunk, data_size, flags, bits, channels, &samples);
+    } else if (std::strcmp(fmt, "ulaw") == 0 || std::strcmp(fmt, "alaw") == 0) {
+        if (channels < 1) return 5;
+        decode_g711(data_chunk, data_size, fmt[0] == 'u', channels,
+                    valid_frames, &samples);
     } else {
         return 6;
     }

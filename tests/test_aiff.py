@@ -96,7 +96,7 @@ def test_error_paths(tmp_path):
         read_aiff(p)
     x = _sine(64)
     pcm = np.round(x * 32767).astype(">i2")
-    p = _aifc(tmp_path, b"ulaw", pcm.tobytes(), 16, 64)
+    p = _aifc(tmp_path, b"ima4", pcm.tobytes(), 16, 64)
     with pytest.raises(UnsupportedFormatError):
         read_aiff(p)
     # Truncated SSND tolerated (fault-injection posture of io/wav.py).

@@ -132,9 +132,18 @@ def cmd_serve(args) -> int:
                                               serve_forever)
 
     lib, names = _load_library(args.library)
+    shard_note = ""
+    if args.shard_library:
+        from lbaudiodetective_tpu.parallel.mesh import make_mesh
+        from lbaudiodetective_tpu.parallel.sharded_library import (
+            ShardedFingerprintLibrary)
+
+        mesh = make_mesh(library_parallelism=args.shard_library or None)
+        lib = ShardedFingerprintLibrary(lib, mesh)
+        shard_note = f" ({mesh.shape['library']}-way library-sharded)"
     service = IdentificationService(lib, names)
-    print(f"serving {len(names)} tracks on {args.host}:{args.port}",
-          file=sys.stderr)
+    print(f"serving {len(names)} tracks on {args.host}:{args.port}"
+          f"{shard_note}", file=sys.stderr)
     serve_forever(service, host=args.host, port=args.port)
     return 0
 
@@ -173,6 +182,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--library", required=True)
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8414)
+    s.add_argument("--shard-library", type=int, default=0, metavar="N",
+                   help="shard the library N-way over the device mesh "
+                        "(multi-device hosts/pods; 0 = single device)")
     s.set_defaults(fn=cmd_serve)
     return p
 

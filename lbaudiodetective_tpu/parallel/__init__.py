@@ -21,6 +21,9 @@ from lbaudiodetective_tpu.parallel.sharded_packed import (
     ring_all_pairs_scores_packed,
     ring_dedup_topk_packed,
 )
+from lbaudiodetective_tpu.parallel.sharded_library import (
+    ShardedFingerprintLibrary,
+)
 
 __all__ = [
     "make_mesh",
@@ -31,4 +34,5 @@ __all__ = [
     "ring_all_pairs_scores",
     "ring_all_pairs_scores_packed",
     "ring_dedup_topk_packed",
+    "ShardedFingerprintLibrary",
 ]

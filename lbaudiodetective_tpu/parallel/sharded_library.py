@@ -1,0 +1,147 @@
+"""ShardedFingerprintLibrary: a FingerprintLibrary distributed over a mesh.
+
+The pod-serving form of the essay's server-side fingerprint DB (PDF
+§3.2.5): the packed uint32 bit planes shard over the mesh ``"library"``
+axis (the only format that fits 1M tracks per pod — ops/match_packed.py),
+queries replicate, and every device matches its resident shard in place.
+Duck-type compatible with :class:`~lbaudiodetective_tpu.models.library.
+FingerprintLibrary` for the serving edge (``len``, ``match``, ``search``,
+``match_many``, ``search_many``), so
+:class:`~lbaudiodetective_tpu.serving.IdentificationService` serves a
+sharded library unchanged.
+
+Scores are exactly equal to the single-device library (the shard_map
+paths are tested score-equal to the unpacked mesh paths AND the scalar
+oracle in tests/test_sharded_packed.py; this wrapper's padding/trimming is
+tested in tests/test_sharded_library.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.models.library import FingerprintLibrary
+from lbaudiodetective_tpu.ops.match_packed import pack_bits_device
+from lbaudiodetective_tpu.parallel.sharded_packed import (
+    match_library_sharded_packed, search_library_sharded_packed)
+
+
+class ShardedFingerprintLibrary:
+    """Wrap a :class:`FingerprintLibrary` with its entry axis sharded over
+    ``mesh``'s ``"library"`` axis.
+
+    The entry axis is zero-padded to a multiple of the library-axis size
+    (padded entries carry count 0 and can never win: the matcher scores
+    them 0); all padded/placed arrays are device-resident once, at
+    construction.
+    """
+
+    def __init__(self, library: FingerprintLibrary, mesh: Mesh):
+        self.inner = library
+        self.mesh = mesh
+        self.config = library.config
+        self.pairs = library.pairs
+        self._l = len(library)
+        n_sh = mesh.shape["library"]
+        pad = (-self._l) % n_sh
+        lib_sh = NamedSharding(mesh, P("library", None, None))
+        cnt_sh = NamedSharding(mesh, P("library"))
+        self.pos_words = jax.device_put(
+            jnp.pad(library.pos_words, ((0, pad), (0, 0), (0, 0))), lib_sh)
+        self.neg_words = jax.device_put(
+            jnp.pad(library.neg_words, ((0, pad), (0, 0), (0, 0))), lib_sh)
+        self.counts = jax.device_put(jnp.pad(library.counts, (0, pad)), cnt_sh)
+        self._coarse_cache: dict = {}
+
+    def __len__(self) -> int:
+        return self._l
+
+    # -- internals -----------------------------------------------------------
+
+    def _query_planes(self, query: Fingerprint, stride: int = 1):
+        s = int(self.pos_words.shape[1])
+        n = min(query.num_subfingerprints, s)
+        qp = np.zeros((s, query.pairs), np.uint8)
+        qn = np.zeros((s, query.pairs), np.uint8)
+        qp[:n] = query.pos[:n]
+        qn[:n] = query.neg[:n]
+        if stride > 1:
+            qp, qn = qp[::stride], qn[::stride]
+            n = -(-n // stride)
+        return (pack_bits_device(jnp.asarray(qp)),
+                pack_bits_device(jnp.asarray(qn)), jnp.int32(n))
+
+    def _coarse_planes(self, stride: int):
+        if stride not in self._coarse_cache:
+            lib_sh = NamedSharding(self.mesh, P("library", None, None))
+            cnt_sh = NamedSharding(self.mesh, P("library"))
+            self._coarse_cache[stride] = (
+                jax.device_put(self.pos_words[:, ::stride], lib_sh),
+                jax.device_put(self.neg_words[:, ::stride], lib_sh),
+                jax.device_put(-(-self.counts // stride), cnt_sh))
+        return self._coarse_cache[stride]
+
+    # -- FingerprintLibrary surface ------------------------------------------
+
+    def match(self, query: Fingerprint, comparison_range: int = 0
+              ) -> np.ndarray:
+        """``[L]`` scores of a query against every entry, each shard matched
+        in place on its own device."""
+        self.config.warn_if_unvalidated_for_identification()
+        qpw, qnw, n = self._query_planes(query)
+        scores = match_library_sharded_packed(
+            qpw, qnw, n, self.pos_words, self.neg_words, self.counts,
+            self.pairs, self.mesh, comparison_range,
+            self.config.subfingerprint_length)
+        return np.asarray(scores)[: self._l]
+
+    def match_many(self, queries: list[Fingerprint],
+                   comparison_range: int = 0) -> np.ndarray:
+        """``[B, L]`` — B sharded dispatches (the per-query dispatch is
+        already mesh-wide; queries arrive at serving batch sizes)."""
+        return np.stack([self.match(q, comparison_range) for q in queries]) \
+            if queries else np.zeros((0, self._l), np.float32)
+
+    def identify(self, query: Fingerprint, comparison_range: int = 0
+                 ) -> tuple[int, float]:
+        scores = self.match(query, comparison_range)
+        best = int(np.argmax(scores))
+        return best, float(scores[best])
+
+    def search(self, query: Fingerprint, top_k: int = 5,
+               comparison_range: int = 0, shortlist: int = 1024,
+               coarse_range: int = 64, coarse_stride: int = 4,
+               chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+        """Two-stage coarse->exact search, each shard shortlisting and
+        re-scoring its residents; global merge host-side.  Same recall
+        property as the single-device search, per shard."""
+        self.config.warn_if_unvalidated_for_identification()
+        top_k = min(top_k, self._l)
+        qpw, qnw, n = self._query_planes(query)
+        qcp, qcn, nc = self._query_planes(query, coarse_stride)
+        lcp, lcn, cnt_c = self._coarse_planes(coarse_stride)
+        n_sh = self.mesh.shape["library"]
+        # Ask each shard for enough candidates that padded entries (count 0,
+        # score 0) can be dropped without starving the global top-k.
+        idx, sc = search_library_sharded_packed(
+            qpw, qnw, n, qcp, qcn, nc,
+            self.pos_words, self.neg_words, self.counts, lcp, lcn, cnt_c,
+            self.pairs, self.mesh, comparison_range,
+            self.config.subfingerprint_length, coarse_range, chunk,
+            shortlist, top_k=top_k + (-self._l) % n_sh)
+        real = idx < self._l
+        return idx[real][:top_k], sc[real][:top_k]
+
+    def search_many(self, queries: list[Fingerprint], top_k: int = 5,
+                    **kw) -> tuple[np.ndarray, np.ndarray]:
+        if not queries:
+            return (np.zeros((0, top_k), np.int64),
+                    np.zeros((0, top_k), np.float32))
+        pairs = [self.search(q, top_k, **kw) for q in queries]
+        return (np.stack([p[0] for p in pairs]),
+                np.stack([p[1] for p in pairs]))

@@ -244,8 +244,10 @@ def search_library_sharded_packed(q_pos_w, q_neg_w, n_query,
     out_sh = NamedSharding(mesh, P("library"))
     l_local = lib_pos_w.shape[0] // n_sh
     chunk = min(chunk, libc_pos_w.shape[0] // n_sh)
-    shortlist = min(shortlist, l_local)
     k_local = min(top_k, l_local)
+    # The exact stage re-scores `shortlist` candidates and the local top-k
+    # draws from them, so the shortlist must cover k_local (tiny shards).
+    shortlist = max(min(shortlist, l_local), k_local)
 
     @functools.partial(
         jax.jit,

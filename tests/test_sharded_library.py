@@ -1,0 +1,100 @@
+"""ShardedFingerprintLibrary: the mesh-sharded library must be score- and
+ranking-identical to the single-device FingerprintLibrary, including when
+driven through the serving edge."""
+
+import numpy as np
+import jax
+import pytest
+
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.models.library import FingerprintLibrary
+from lbaudiodetective_tpu.parallel.mesh import make_mesh
+from lbaudiodetective_tpu.parallel.sharded_library import (
+    ShardedFingerprintLibrary)
+from tests.test_match import random_fp
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh(8, library_parallelism=4)
+
+
+def _fps(rng, sizes, pairs=100):
+    out = []
+    for n in sizes:
+        p, q = random_fp(rng, int(n), pairs)
+        out.append(Fingerprint.from_planes(p, q, 2 * pairs))
+    return out
+
+
+def test_sharded_match_equals_single_device(mesh):
+    rng = np.random.default_rng(81)
+    # 11 entries: NOT a multiple of the 4-way library axis -> exercises
+    # zero-count padding.
+    fps = _fps(rng, [12, 3, 7, 9, 1, 12, 5, 8, 10, 2, 6])
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    assert len(slib) == len(lib) == 11
+    for qi in (0, 4, 10):
+        ref = lib.match(fps[qi])
+        got = slib.match(fps[qi])
+        np.testing.assert_array_equal(got, ref)
+        assert got.shape == (11,)
+
+
+def test_sharded_search_equals_single_device(mesh):
+    rng = np.random.default_rng(82)
+    fps = _fps(rng, [8 + (i % 5) for i in range(30)])
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    for qi in (3, 17):
+        ref_idx, ref_sc = lib.search(fps[qi], top_k=4)
+        got_idx, got_sc = slib.search(fps[qi], top_k=4)
+        np.testing.assert_array_equal(got_idx, ref_idx)
+        np.testing.assert_allclose(got_sc, ref_sc, rtol=0, atol=0)
+    gi, gs = slib.search_many([fps[3], fps[17]], top_k=4)
+    np.testing.assert_array_equal(gi[0], lib.search(fps[3], top_k=4)[0])
+    np.testing.assert_array_equal(gi[1], lib.search(fps[17], top_k=4)[0])
+    assert gs.shape == (2, 4)
+
+
+def test_match_many_and_identify(mesh):
+    rng = np.random.default_rng(83)
+    fps = _fps(rng, [6, 9, 12, 4, 8])
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    ref = lib.match_many(fps[:3])
+    got = slib.match_many(fps[:3])
+    np.testing.assert_array_equal(got, ref)
+    bi, bs = slib.identify(fps[2])
+    assert bi == 2 and bs == pytest.approx(1.0)
+
+
+def test_serving_edge_with_sharded_library(mesh, tmp_path):
+    """IdentificationService duck-types over the sharded library: identical
+    responses to the single-device service on a real corpus payload."""
+    from tests.conftest import CORPUS
+    from lbaudiodetective_tpu.models.detective import AudioDetective
+    from lbaudiodetective_tpu.serving import IdentificationService
+
+    det = AudioDetective()
+    names = ["BlackBird", "Wren"]
+    fps = [det.process_audio_file(str(CORPUS / "Archive" / f"{n}.caf"))
+           for n in names]
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    payload = (CORPUS / "Cropped/Equal" / "BlackBird_eql.caf").read_bytes()
+
+    ref = IdentificationService(lib, names).identify(payload)
+    got = IdentificationService(slib, names).identify(payload)
+    assert got == ref
+    assert got["track"] == "BlackBird"
+
+    # Search path (force it with a tiny threshold) responds identically too.
+    ref_s = IdentificationService(lib, names, search_threshold=1,
+                                  top_k=2).identify(payload)
+    got_s = IdentificationService(slib, names, search_threshold=1,
+                                  top_k=2).identify(payload)
+    assert got_s == ref_s
+    assert [e["track"] for e in got_s["top"]][0] == "BlackBird"

@@ -324,6 +324,64 @@ def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
     return audio_seconds / dt, n_streams
 
 
+def bench_serving(config, max_batch: int = 8, threads: int = 8,
+                  window_s: float = 0.05):
+    """End-to-end HTTP serving throughput on the essay's real workload.
+
+    Library = the 10 Archive birds enrolled through the batched pipeline;
+    requests = the 40 Cropped corpus clips POSTed concurrently to the
+    micro-batched serving edge (decode + padded batch extraction + batched
+    match, all inside the timed window).  ``n_sub_cap`` pins every batch to
+    one static shape so the whole run shares one extraction compilation.
+    The timed wave is the SECOND one (wave 1 pays jit compiles) with the
+    request order reversed, so batch compositions differ and the relay
+    cannot serve cached identical executions.
+    """
+    import pathlib
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lbaudiodetective_tpu.models.detective import AudioDetective
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+    from lbaudiodetective_tpu.serving import IdentificationService, make_server
+
+    corpus = pathlib.Path("/root/reference/LBAudioDetectiveTests/Birds")
+    archive = sorted((corpus / "Archive").glob("*.caf"))
+    det = AudioDetective(config)
+    names = [p.stem for p in archive]
+    fps = det.process_batch([str(p) for p in archive])
+    lib = FingerprintLibrary.from_fingerprints(fps, config)
+    service = IdentificationService(lib, names, config,
+                                    batch_window_s=window_s,
+                                    max_batch=max_batch, n_sub_cap=48)
+    server = make_server(service)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    payloads = [(p.stem.split("_")[0], p.read_bytes())
+                for d in ("Cropped/Equal", "Cropped/Different",
+                          "Cropped/Blurred", "Cropped/Recorded")
+                for p in sorted((corpus / d).glob("*.caf"))]
+
+    def post(item):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/identify", data=item[1])
+        with urllib.request.urlopen(req, timeout=900) as r:
+            return json.loads(r.read())
+
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(post, payloads))               # wave 1: compiles
+        wave2 = list(reversed(payloads))
+        t0 = time.perf_counter()
+        results = list(ex.map(post, wave2))
+        dt = time.perf_counter() - t0
+    server.shutdown()
+    right = sum(1 for (want, _), r in zip(wave2, results)
+                if r["track"] == want)
+    return (len(payloads) / dt, len(payloads), right,
+            service.extract_dispatches)
+
+
 def bench_rows_stage(config, batch: int, clip_seconds: float = 10.0,
                      iters: int = 20):
     """Rows-stage-only timing (the fused Pallas kernel without top-k/pack);
@@ -450,6 +508,13 @@ def main():
         details["million_track_search_seconds"] = s_dt
         details["million_track_search_params"] = {
             "shortlist": 1024, "coarse_range": 64, "coarse_stride": 4}
+    if "--serving" in sys.argv:
+        with timers.stage("serving"):
+            rps, n_req, right, disp = bench_serving(parity_cfg)
+        details["serving_requests_per_sec"] = rps
+        details["serving_requests"] = n_req
+        details["serving_right_track"] = right
+        details["serving_extract_dispatches"] = disp
     if "--dedup" in sys.argv:
         runs_dd = []
         run_dd = make_bench_dedup_block(parity_cfg)

@@ -250,25 +250,43 @@ def extract_fingerprint(audio: DecodedAudio, config: FingerprintConfig | None = 
 
 
 def extract_fingerprint_batch(clips: list[DecodedAudio],
-                              config: FingerprintConfig | None = None
+                              config: FingerprintConfig | None = None,
+                              pad_batch_to: int = 0, n_sub_cap: int = 0
                               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batched extraction: pads all clips to one bucket and runs a single
     dispatch.  Returns (pos, neg, n_sub) with shapes ``[B, S_max, pairs]`` /
-    ``[B]``; invalid subfingerprints are zeroed."""
+    ``[B]``; invalid subfingerprints are zeroed.
+
+    ``pad_batch_to``/``n_sub_cap`` pin the dispatch to STATIC shapes for
+    serving: the batch axis zero-pads up to ``pad_batch_to`` clips and the
+    subfingerprint bucket is fixed at ``bucket(n_sub_cap)`` regardless of
+    batch composition, so every serving batch shares ONE jit compilation
+    (remote TPU compiles are minutes; shape churn is a production hazard).
+    Clips longer than the cap are truncated to it — results for in-cap
+    clips are bit-identical to the dynamic-bucket path.
+    """
     config = config or FingerprintConfig()
     n_subs = np.array([config.num_subfingerprints(c.file_frames, c.proc_frames)
                        for c in clips], dtype=np.int32)
-    s_max = bucket_subfingerprints(int(n_subs.max(initial=0)))
+    if n_sub_cap:
+        n_subs = np.minimum(n_subs, n_sub_cap)
+        s_max = bucket_subfingerprints(n_sub_cap)
+    else:
+        s_max = bucket_subfingerprints(int(n_subs.max(initial=0)))
+    b_out = len(clips)
+    b_pad = max(b_out, pad_batch_to)
     if s_max == 0:
         pairs = config.num_wavelet_pairs
-        b = len(clips)
-        return (np.zeros((b, 0, pairs), np.uint8), np.zeros((b, 0, pairs), np.uint8), n_subs)
+        return (np.zeros((b_out, 0, pairs), np.uint8),
+                np.zeros((b_out, 0, pairs), np.uint8), n_subs)
     n_rows = rows_for_subfingerprints(config, s_max)
     t_pad = required_padded_length(config, n_rows)
-    batch = np.zeros((len(clips), t_pad), dtype=np.float32)
+    batch = np.zeros((b_pad, t_pad), dtype=np.float32)
     for i, c in enumerate(clips):
         t = min(c.samples.shape[0], t_pad)
         batch[i, :t] = c.samples[:t]
+    n_subs_pad = np.zeros(b_pad, np.int32)
+    n_subs_pad[:b_out] = n_subs
     pos, neg = extract_fingerprint_padded(
-        jnp.asarray(batch), jnp.asarray(n_subs), config, n_rows)
-    return np.asarray(pos), np.asarray(neg), n_subs
+        jnp.asarray(batch), jnp.asarray(n_subs_pad), config, n_rows)
+    return np.asarray(pos)[:b_out], np.asarray(neg)[:b_out], n_subs

@@ -61,7 +61,8 @@ class IdentificationService:
     def __init__(self, library: FingerprintLibrary, names: list[str],
                  config: FingerprintConfig | None = None,
                  batch_window_s: float = 0.0, max_batch: int = 8,
-                 search_threshold: int = 4096, top_k: int = 5):
+                 search_threshold: int = 4096, top_k: int = 5,
+                 n_sub_cap: int = 0):
         if len(names) != len(library):
             raise errors.InvalidArgumentError("names must match library size")
         self.library = library
@@ -77,6 +78,11 @@ class IdentificationService:
         self._pending: list[dict] = []
         self.search_threshold = search_threshold
         self.top_k = top_k
+        #: >0 pins every batched extraction to ONE static shape (batch axis
+        #: padded to max_batch, subfingerprint bucket fixed at the cap; clips
+        #: beyond the cap truncate) — one jit compilation for the lifetime of
+        #: the server instead of one per (batch size, length bucket) pair.
+        self.n_sub_cap = n_sub_cap
         #: Number of extraction device dispatches (observability + tests).
         self.extract_dispatches = 0
 
@@ -170,7 +176,9 @@ class IdentificationService:
 
         try:
             pos, neg, n_subs = extract_fingerprint_batch(
-                [e["clip"] for e in batch], self.config)
+                [e["clip"] for e in batch], self.config,
+                pad_batch_to=self.max_batch if self.n_sub_cap else 0,
+                n_sub_cap=self.n_sub_cap)
             self._count_dispatch()
             for i, e in enumerate(batch):
                 n = int(n_subs[i])
@@ -182,16 +190,26 @@ class IdentificationService:
             matchable = [e for e in batch
                          if e["fp"].num_subfingerprints > 0]
             if matchable:
+                fps_m = [e["fp"] for e in matchable]
+                if self.n_sub_cap and len(fps_m) < self.max_batch:
+                    # Static shapes extend to the match stage: pad the query
+                    # batch with empty fingerprints (count 0 scores 0 and is
+                    # dropped below) so every batch hits one matcher compile.
+                    pairs = fps_m[0].pairs
+                    empty = Fingerprint.from_planes(
+                        np.zeros((0, pairs), np.uint8),
+                        np.zeros((0, pairs), np.uint8),
+                        self.config.subfingerprint_length)
+                    fps_m = fps_m + [empty] * (self.max_batch - len(fps_m))
                 if self._use_search:
                     with self._lock:
                         idx, sc = self.library.search_many(
-                            [e["fp"] for e in matchable], top_k=self.top_k)
+                            fps_m, top_k=self.top_k)
                     for i, e in enumerate(matchable):
                         e["topk"] = (idx[i], sc[i])
                 else:
                     with self._lock:
-                        all_scores = self.library.match_many(
-                            [e["fp"] for e in matchable])
+                        all_scores = self.library.match_many(fps_m)
                     for e, s in zip(matchable, all_scores):
                         e["scores"] = s
         except Exception:  # noqa: BLE001 — isolate the failing clip(s):

@@ -294,3 +294,70 @@ def test_search_mode_topk_responses(decoded_corpus, default_config):
     for i, b in enumerate(BIRDS[:2]):
         assert results[i]["track"] == b
         assert "top" in results[i] and "scores" not in results[i]
+
+
+def test_static_shape_batching_identical(decoded_corpus, default_config):
+    """n_sub_cap pins every batched extraction to one static shape (batch
+    padded to max_batch, fixed subfingerprint bucket): responses must be
+    identical to the dynamic-shape batched path for in-cap clips."""
+    from lbaudiodetective_tpu.ops.extract import (extract_fingerprint,
+                                                  extract_fingerprint_batch)
+
+    fps = []
+    for b in BIRDS[:4]:
+        pos, neg, n = extract_fingerprint(decoded_corpus[b], default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:n]),
+                                           np.asarray(neg[:n])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    plain = IdentificationService(lib, BIRDS[:4], default_config)
+    capped = IdentificationService(lib, BIRDS[:4], default_config,
+                                   batch_window_s=1.0, max_batch=4,
+                                   n_sub_cap=64)
+
+    payloads = [open(corpus_path(b + "_eql"), "rb").read() for b in BIRDS[:3]]
+    expected = [plain.identify(p) for p in payloads]
+    results = [None] * 3
+    errs = []
+
+    def worker(i):
+        try:
+            results[i] = capped.identify(payloads[i])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+    assert capped.extract_dispatches == 1
+    for got, exp in zip(results, expected):
+        assert got["track"] == exp["track"]
+        for name in exp["scores"]:
+            assert got["scores"][name] == pytest.approx(exp["scores"][name],
+                                                        abs=1e-6)
+
+
+def test_extract_batch_static_shapes_bitexact(decoded_corpus, default_config):
+    """extract_fingerprint_batch(pad_batch_to, n_sub_cap): identical planes
+    for in-cap clips; clips over the cap truncate to exactly the capped
+    prefix of their dynamic extraction."""
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint_batch
+
+    clips = [decoded_corpus[b] for b in BIRDS[:3]]
+    pos_d, neg_d, n_d = extract_fingerprint_batch(clips, default_config)
+    pos_s, neg_s, n_s = extract_fingerprint_batch(
+        clips, default_config, pad_batch_to=8, n_sub_cap=64)
+    assert pos_s.shape[0] == 3                  # padding trimmed from output
+    np.testing.assert_array_equal(n_s, n_d)
+    for i in range(3):
+        n = int(n_d[i])
+        np.testing.assert_array_equal(pos_s[i, :n], pos_d[i, :n])
+        np.testing.assert_array_equal(neg_s[i, :n], neg_d[i, :n])
+    # Cap below a clip's natural length: truncation, not corruption.
+    cap = max(1, int(n_d[0]) - 1)
+    pos_t, neg_t, n_t = extract_fingerprint_batch(
+        [clips[0]], default_config, n_sub_cap=cap)
+    assert int(n_t[0]) == cap
+    np.testing.assert_array_equal(pos_t[0, :cap], pos_d[0, :cap])

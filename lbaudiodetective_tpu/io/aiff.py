@@ -80,7 +80,7 @@ def read_aiff(path: str) -> tuple[np.ndarray, float]:
     if comm is None or ssnd is None:
         raise DecodeError("AIFF missing COMM or SSND chunk")
     channels, frames, bits, rate = comm
-    if channels < 1 or rate <= 0:
+    if channels < 1 or not (0 < rate < 1e7):     # rejects 0/negative/nan/inf
         raise DecodeError("invalid AIFF COMM parameters")
 
     def whole(data: bytes, width: int) -> bytes:

@@ -74,11 +74,16 @@ def parse_caf(raw: bytes) -> CafFile:
         if csize == -1:  # audio data extends to EOF (allowed for 'data')
             csize = n - payload_off
         if ctype == b"desc":
+            if payload_off + 32 > n:
+                raise DecodeError("CAF desc chunk truncated")
             sr, fmt, flags, bpp, fpp, cpf, bpc = struct.unpack(
                 ">dIIIIII", raw[payload_off:payload_off + 32])
-            desc = CafAudioDescription(sr, fmt.to_bytes(4, "big").decode("ascii"),
-                                       flags, bpp, fpp, cpf, bpc)
-        elif ctype == b"pakt":
+            try:
+                fmt_id = fmt.to_bytes(4, "big").decode("ascii")
+            except UnicodeDecodeError:
+                raise DecodeError(f"CAF format id {fmt:#x} is not ASCII")
+            desc = CafAudioDescription(sr, fmt_id, flags, bpp, fpp, cpf, bpc)
+        elif ctype == b"pakt" and payload_off + 24 <= n:
             _, nframes, _, _ = struct.unpack(">qqii", raw[payload_off:payload_off + 24])
             valid_frames = int(nframes)
         elif ctype == b"data":
@@ -139,15 +144,18 @@ def decode_lpcm(data: bytes, desc: CafAudioDescription) -> np.ndarray:
     little = bool(desc.format_flags & 2)
     order = "<" if little else ">"
     bits = desc.bits_per_channel
-    if is_float:
-        dtype = {32: "f4", 64: "f8"}[bits]
-        x = np.frombuffer(data, dtype=order + dtype).astype(np.float32)
-    else:
-        dtype = {16: "i2", 32: "i4"}[bits]
-        x = np.frombuffer(data, dtype=order + dtype).astype(np.float32)
+    dtype = ({32: "f4", 64: "f8"} if is_float else {16: "i2", 32: "i4"}).get(bits)
+    if dtype is None:
+        kind = "float" if is_float else "integer"
+        raise UnsupportedFormatError(f"unsupported CAF {kind} LPCM depth {bits}")
+    width = bits // 8
+    data = data[: (len(data) // width) * width]   # ragged tail must not raise
+    x = np.frombuffer(data, dtype=order + dtype).astype(np.float32)
+    if not is_float:
         x /= float(1 << (bits - 1))
-    if desc.channels_per_frame > 1:
-        x = x.reshape(-1, desc.channels_per_frame).mean(axis=1)
+    c = desc.channels_per_frame
+    if c > 1:
+        x = x[: (len(x) // c) * c].reshape(-1, c).mean(axis=1)
     return x
 
 
@@ -155,6 +163,9 @@ def read_caf(path: str) -> tuple[np.ndarray, float]:
     """Read a CAF file -> (mono float32 samples in [-1,1), sample_rate)."""
     with open(path, "rb") as f:
         caf = parse_caf(f.read())
+    sr = caf.desc.sample_rate
+    if not (0 < sr < 1e7) or sr != sr:            # 0 / negative / nan / inf
+        raise DecodeError(f"CAF sample rate {sr!r} is not usable")
     fmt = caf.desc.format_id
     if fmt == "ima4":
         if caf.desc.channels_per_frame != 1:

@@ -69,7 +69,14 @@ def _read_file(path: str) -> tuple[np.ndarray, float]:
 
 def decode_audio_file(path: str, processing_rate: float = 5512.0) -> DecodedAudio:
     """Decode an audio file and resample to the processing rate."""
+    from lbaudiodetective_tpu.errors import DecodeError
+
     samples, file_rate = _read_file(path)
+    if not (1000.0 <= file_rate <= 1e6):
+        # A header this far outside real audio rates is corruption, and an
+        # extreme upsample ratio would let one malformed request allocate
+        # unbounded output (serving hardening).
+        raise DecodeError(f"file sample rate {file_rate!r} out of range")
     file_frames = int(samples.shape[0])
     resampled = resample_rational(samples, file_rate, processing_rate)
     return DecodedAudio(

@@ -85,6 +85,8 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
         payload = off + 8
         csize = min(csize, n - payload)  # tolerate truncation
         if cid == b"fmt ":
+            if csize < 16:
+                raise DecodeError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", raw[payload:payload + 16])
             fmt_payload = raw[payload:payload + csize]
         elif cid == b"data":
@@ -95,6 +97,8 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
     if fmt is None or data is None:
         raise DecodeError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if sample_rate <= 0:
+        raise DecodeError(f"WAV sample rate {sample_rate} is not usable")
     if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
         # The real format code is the first 2 bytes of the SubFormat GUID at
         # offset 24 of the extended fmt chunk (after cbSize/validBits/mask).

@@ -72,3 +72,94 @@ def test_empty_audio_produces_empty_fingerprint(tmp_path):
     real = det.process_audio_file(corpus_path("Wren"))
     assert det.compare_fingerprints(real, fp) == 0.0
     assert det.compare_fingerprints(fp, real) == 0.0
+
+
+def test_fuzz_truncation_and_mutation_all_containers(tmp_path):
+    """Every container reader, fed truncations at arbitrary offsets and
+    random byte mutations of valid files, must either decode (float32
+    output) or raise a typed AudioDetectiveError — never leak a raw
+    struct.error / IndexError / ValueError from the parser internals."""
+    import struct
+
+    from lbaudiodetective_tpu.errors import AudioDetectiveError
+    from lbaudiodetective_tpu.io.aiff import write_aiff
+    from lbaudiodetective_tpu.io.g711 import encode_mulaw
+    from lbaudiodetective_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(99)
+    x = (0.4 * np.sin(2 * np.pi * 440.0 *
+                      np.arange(4000) / 8000.0)).astype(np.float32)
+
+    samples = {}
+    p = tmp_path / "t.wav"
+    write_wav(str(p), x, 8000.0)
+    samples["wav_pcm"] = p.read_bytes()
+    p = tmp_path / "t.aiff"
+    write_aiff(str(p), x, 8000.0)
+    samples["aiff"] = p.read_bytes()
+    payload = encode_mulaw(x)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + fmt + data
+    samples["wav_ulaw"] = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples["caf_ima4"] = open(corpus_path("Wren_eql"), "rb").read()
+
+    def run_one(name, blob, i):
+        f = tmp_path / f"fz_{name}_{i}"
+        f.write_bytes(blob)
+        try:
+            out, rate = {
+                "wav_pcm": _wav, "wav_ulaw": _wav,
+                "aiff": _aiff, "caf_ima4": _caf_read,
+            }[name](str(f))
+        except AudioDetectiveError:
+            return
+        assert out.dtype == np.float32
+
+    from lbaudiodetective_tpu.io.aiff import read_aiff as _aiff
+    from lbaudiodetective_tpu.io.wav import read_wav as _wav
+    _caf_read = caf.read_caf
+
+    for name, blob in samples.items():
+        # Truncation: EVERY offset through the header region (the narrow
+        # windows where struct unpacks can starve) + a spread over the rest.
+        cuts = list(range(0, min(120, len(blob)))) + list(
+            np.linspace(120, len(blob) - 1, 30).astype(int))
+        for i, cut in enumerate(cuts):
+            run_one(name, blob[:cut], i)
+        # 40 random single/multi-byte mutations (headers included).
+        for i in range(40):
+            mutated = bytearray(blob)
+            for _ in range(int(rng.integers(1, 8))):
+                mutated[int(rng.integers(0, len(blob)))] = int(rng.integers(256))
+            run_one(name, bytes(mutated), 1000 + i)
+
+
+def test_fuzz_decode_audio_file_level(tmp_path):
+    """The public decode entry (decode + resample) under header mutations:
+    typed errors or a sane DecodedAudio, never parser leaks or unbounded
+    resample output (corrupt sample rates are rejected by range)."""
+    import struct
+
+    from lbaudiodetective_tpu.errors import AudioDetectiveError
+    from lbaudiodetective_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(7)
+    x = (0.4 * np.sin(2 * np.pi * 440.0 *
+                      np.arange(4000) / 8000.0)).astype(np.float32)
+    p = tmp_path / "t.wav"
+    write_wav(str(p), x, 8000.0)
+    blob = bytearray(p.read_bytes())
+    for i in range(30):
+        mutated = bytearray(blob)
+        # Target the header region specifically (rate/format fields).
+        for _ in range(int(rng.integers(1, 4))):
+            mutated[int(rng.integers(0, 44))] = int(rng.integers(256))
+        f = tmp_path / f"m{i}.wav"
+        f.write_bytes(bytes(mutated))
+        try:
+            d = decode_audio_file(str(f))
+        except AudioDetectiveError:
+            continue
+        assert d.samples.dtype == np.float32
+        assert d.samples.shape[0] <= 60 * 5512   # bounded output

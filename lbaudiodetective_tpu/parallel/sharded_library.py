@@ -138,10 +138,47 @@ class ShardedFingerprintLibrary:
         return idx[real][:top_k], sc[real][:top_k]
 
     def search_many(self, queries: list[Fingerprint], top_k: int = 5,
-                    **kw) -> tuple[np.ndarray, np.ndarray]:
+                    comparison_range: int = 0, shortlist: int = 1024,
+                    coarse_range: int = 64, coarse_stride: int = 4,
+                    chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+        """Batched search: B queries in ONE mesh dispatch (each shard vmaps
+        the fused two-stage search over the query batch)."""
+        from lbaudiodetective_tpu.parallel.sharded_packed import (
+            search_many_library_sharded_packed)
+
         if not queries:
             return (np.zeros((0, top_k), np.int64),
                     np.zeros((0, top_k), np.float32))
-        pairs = [self.search(q, top_k, **kw) for q in queries]
-        return (np.stack([p[0] for p in pairs]),
-                np.stack([p[1] for p in pairs]))
+        self.config.warn_if_unvalidated_for_identification()
+        top_k = min(top_k, self._l)
+        s = int(self.pos_words.shape[1])
+        b = len(queries)
+        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
+        qn = np.zeros_like(qp)
+        nq = np.zeros(b, np.int32)
+        for i, q in enumerate(queries):
+            n = min(q.num_subfingerprints, s)
+            nq[i] = n
+            qp[i, :n] = q.pos[:n]
+            qn[i, :n] = q.neg[:n]
+        qpw = pack_bits_device(jnp.asarray(qp))
+        qnw = pack_bits_device(jnp.asarray(qn))
+        qcp = pack_bits_device(jnp.asarray(qp[:, ::coarse_stride]))
+        qcn = pack_bits_device(jnp.asarray(qn[:, ::coarse_stride]))
+        lcp, lcn, cnt_c = self._coarse_planes(coarse_stride)
+        n_sh = self.mesh.shape["library"]
+        k_ask = top_k + (-self._l) % n_sh       # padded entries filtered below
+        idx, sc = search_many_library_sharded_packed(
+            qpw, qnw, jnp.asarray(nq), qcp, qcn,
+            jnp.asarray(-(-nq // coarse_stride)),
+            self.pos_words, self.neg_words, self.counts, lcp, lcn, cnt_c,
+            self.pairs, self.mesh, comparison_range,
+            self.config.subfingerprint_length, coarse_range, chunk,
+            shortlist, top_k=k_ask)
+        out_i = np.zeros((b, top_k), np.int64)
+        out_s = np.zeros((b, top_k), np.float32)
+        for i in range(b):
+            real = idx[i] < self._l
+            out_i[i] = idx[i][real][:top_k]
+            out_s[i] = sc[i][real][:top_k]
+        return out_i, out_s

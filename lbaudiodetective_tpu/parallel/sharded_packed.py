@@ -280,3 +280,72 @@ def search_library_sharded_packed(q_pos_w, q_neg_w, n_query,
     sc_all = np.asarray(sc_all)
     order = np.argsort(-sc_all, kind="stable")[:top_k]
     return idx_all[order].astype(np.int64), sc_all[order]
+
+
+def search_many_library_sharded_packed(q_pos_w, q_neg_w, n_query,
+                                       qc_pos_w, qc_neg_w, n_query_c,
+                                       lib_pos_w, lib_neg_w, n_lib,
+                                       libc_pos_w, libc_neg_w, n_lib_c,
+                                       pairs: int, mesh: Mesh,
+                                       comparison_range: int = 0,
+                                       subfingerprint_length: int = 200,
+                                       coarse_range: int = 64,
+                                       chunk: int = 65536,
+                                       shortlist: int = 1024,
+                                       top_k: int = 5):
+    """Batched :func:`search_library_sharded_packed`: B queries (leading
+    axis on every ``q*`` input, replicated) run through ONE mesh dispatch —
+    each device vmaps the fused two-stage search over the query batch on
+    its resident shard.  Returns ``(indices [B, top_k], scores [B, top_k])``
+    merged host-side per query — the pod-serving batcher's search stage
+    (B serving requests cost one collective dispatch, not B).
+    """
+    from lbaudiodetective_tpu.ops.match_packed import two_stage_search_packed
+
+    import numpy as np
+
+    n_sh = mesh.shape["library"]
+    shard = NamedSharding(mesh, P("library", None, None))
+    cnt_sh = NamedSharding(mesh, P("library"))
+    rep = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P(None, "library"))
+    l_local = lib_pos_w.shape[0] // n_sh
+    chunk = min(chunk, libc_pos_w.shape[0] // n_sh)
+    k_local = min(top_k, l_local)
+    shortlist = max(min(shortlist, l_local), k_local)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep, rep, rep, rep,
+                      shard, shard, cnt_sh, shard, shard, cnt_sh),
+        out_shardings=(out_sh, out_sh),
+    )
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(),
+                  P("library", None, None), P("library", None, None),
+                  P("library"),
+                  P("library", None, None), P("library", None, None),
+                  P("library")),
+        out_specs=(P(None, "library"), P(None, "library")),
+    )
+    def run(qp, qn, nq, qcp, qcn, nqc, lp, ln, nl, lcp, lcn, nlc):
+        def one(qp1, qn1, n1, qcp1, qcn1, nc1):
+            return two_stage_search_packed(
+                qp1, qn1, n1, qcp1, qcn1, nc1, lp, ln, nl, lcp, lcn, nlc,
+                pairs, comparison_range, subfingerprint_length,
+                coarse_range, chunk, shortlist, k_local)
+
+        idx, sc = jax.vmap(one)(qp, qn, nq, qcp, qcn, nqc)   # [B, k_local]
+        offset = jax.lax.axis_index("library").astype(idx.dtype) * l_local
+        return idx + offset, sc
+
+    idx_all, sc_all = run(q_pos_w, q_neg_w, n_query,
+                          qc_pos_w, qc_neg_w, n_query_c,
+                          lib_pos_w, lib_neg_w, n_lib,
+                          libc_pos_w, libc_neg_w, n_lib_c)
+    idx_all = np.asarray(idx_all)                            # [B, n_sh*k_local]
+    sc_all = np.asarray(sc_all)
+    order = np.argsort(-sc_all, axis=1, kind="stable")[:, :top_k]
+    return (np.take_along_axis(idx_all, order, axis=1).astype(np.int64),
+            np.take_along_axis(sc_all, order, axis=1))

@@ -59,6 +59,26 @@ def test_sharded_search_equals_single_device(mesh):
     assert gs.shape == (2, 4)
 
 
+def test_search_many_batched_equals_looped(mesh):
+    """The single-dispatch batched sharded search must rank exactly like
+    per-query sharded searches AND the single-device library, across a
+    library size that forces entry-axis padding."""
+    rng = np.random.default_rng(84)
+    fps = _fps(rng, [5 + (i % 7) for i in range(27)])   # 27 % 4 != 0
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    queries = [fps[i] for i in (0, 9, 13, 22, 26)]
+    bi, bs = slib.search_many(queries, top_k=3)
+    assert bi.shape == (5, 3)
+    for r, q in enumerate(queries):
+        li, ls = slib.search(q, top_k=3)
+        np.testing.assert_array_equal(bi[r], li)
+        np.testing.assert_array_equal(bs[r], ls)
+        ri, rs = lib.search(q, top_k=3)
+        np.testing.assert_array_equal(bi[r], ri)
+        np.testing.assert_allclose(bs[r], rs, rtol=0, atol=0)
+
+
 def test_match_many_and_identify(mesh):
     rng = np.random.default_rng(83)
     fps = _fps(rng, [6, 9, 12, 4, 8])

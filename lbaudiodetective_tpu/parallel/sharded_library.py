@@ -102,10 +102,30 @@ class ShardedFingerprintLibrary:
 
     def match_many(self, queries: list[Fingerprint],
                    comparison_range: int = 0) -> np.ndarray:
-        """``[B, L]`` — B sharded dispatches (the per-query dispatch is
-        already mesh-wide; queries arrive at serving batch sizes)."""
-        return np.stack([self.match(q, comparison_range) for q in queries]) \
-            if queries else np.zeros((0, self._l), np.float32)
+        """``[B, L]`` scores for B queries in ONE mesh dispatch (each shard
+        vmaps the popcount matcher over the query batch)."""
+        from lbaudiodetective_tpu.parallel.sharded_packed import (
+            match_many_library_sharded_packed)
+
+        if not queries:
+            return np.zeros((0, self._l), np.float32)
+        self.config.warn_if_unvalidated_for_identification()
+        s = int(self.pos_words.shape[1])
+        b = len(queries)
+        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
+        qn = np.zeros_like(qp)
+        nq = np.zeros(b, np.int32)
+        for i, q in enumerate(queries):
+            n = min(q.num_subfingerprints, s)
+            nq[i] = n
+            qp[i, :n] = q.pos[:n]
+            qn[i, :n] = q.neg[:n]
+        scores = match_many_library_sharded_packed(
+            pack_bits_device(jnp.asarray(qp)), pack_bits_device(jnp.asarray(qn)),
+            jnp.asarray(nq), self.pos_words, self.neg_words, self.counts,
+            self.pairs, self.mesh, comparison_range,
+            self.config.subfingerprint_length)
+        return np.asarray(scores)[:, : self._l]
 
     def identify(self, query: Fingerprint, comparison_range: int = 0
                  ) -> tuple[int, float]:

@@ -57,6 +57,34 @@ def match_library_sharded_packed(q_pos_w, q_neg_w, n_query,
     return run(q_pos_w, q_neg_w, n_query, lib_pos_w, lib_neg_w, n_lib)
 
 
+def match_many_library_sharded_packed(q_pos_w, q_neg_w, n_query,
+                                      lib_pos_w, lib_neg_w, n_lib,
+                                      pairs: int, mesh: Mesh,
+                                      comparison_range: int = 0,
+                                      subfingerprint_length: int = 200):
+    """Batched :func:`match_library_sharded_packed`: B queries (leading axis
+    on ``q*``, replicated) -> ``[B, L]`` scores sharded over ``"library"``,
+    in ONE mesh dispatch (each device vmaps the popcount matcher over the
+    query batch on its resident shard)."""
+    lib_sh = NamedSharding(mesh, P("library", None, None))
+    cnt_sh = NamedSharding(mesh, P("library"))
+    rep = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P(None, "library"))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep, lib_sh, lib_sh, cnt_sh),
+        out_shardings=out_sh,
+    )
+    def run(qp, qn, nq, lp, ln, nl):
+        return jax.vmap(
+            lambda qp1, qn1, n1: match_one_vs_many_packed(
+                qp1, qn1, n1, lp, ln, nl, pairs,
+                comparison_range, subfingerprint_length))(qp, qn, nq)
+
+    return run(q_pos_w, q_neg_w, n_query, lib_pos_w, lib_neg_w, n_lib)
+
+
 def _packed_block_scores(res, vis, mask_w):
     """All-pairs offset-slide scores of a resident packed block against a
     visiting packed block: ``([lr, S, W], [lr]) x ([lv, S, W], [lv]) ->

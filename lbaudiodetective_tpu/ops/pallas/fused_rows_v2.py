@@ -624,7 +624,7 @@ def v3_tiles_per_step(n_tiles: int) -> int:
                                    "batched_rolls", "aux_bf16x3", "tps_override",
                                    "proj_concat", "conj_pairs", "fuse_select",
                                    "dense_pairs", "aux_two_pass", "cat_gk",
-                                   "vmaj"))
+                                   "vmaj", "cost_hint"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
@@ -637,7 +637,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        dense_pairs: bool = False,
                        aux_two_pass: bool = False,
                        cat_gk: bool = False,
-                       vmaj: bool = False) -> jnp.ndarray:
+                       vmaj: bool = False,
+                       cost_hint: bool = False) -> jnp.ndarray:
     # dense_pairs is a MEASURED NEGATIVE on v5e (scripts/ab_dense.py): the
     # 22% stage-2 MAC cut (2048 -> 1600 lanes) times out at 26.0 ms vs 24.9
     # ms per 128 parity clips because N=192 matmuls do not run
@@ -815,11 +816,25 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      dense_pairs=dense,
                      aux2=(two_pass or aux_two_pass) and not interpret,
                      cat_gk=cat, vmaj=vmaj_on)
+    cost = None
+    if cost_hint:
+        # Scheduler hint (pl.CostEstimate): stage-2 dominates at ~524K MACs
+        # per window x 3 bf16 passes; bytes = the double-read audio blocks +
+        # the weight tensors once per step + the output.
+        passes = 3 if bf16x3 else 1
+        cost = pl.CostEstimate(
+            flops=2 * 524_000 * n_rows * batch * passes,
+            bytes_accessed=(audio3d.size * 4 * n_blk
+                            + batch * n_steps * (c16.size + s16.size
+                                                 + t2a.size + t2b.size) * 4
+                            + int(np.prod(out_shape.shape)) * 4),
+            transcendentals=0)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),

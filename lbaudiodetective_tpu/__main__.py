@@ -9,6 +9,7 @@ exposes that workflow on top of the library APIs:
   enroll <dir> -o lib.npz                 build a library from a directory
   identify <clip> --library lib.npz       best match + per-track scores
   serve --library lib.npz --names ...     run the HTTP identification edge
+  client <clip> --url http://host:8414    POST a clip to a running server
 
 Audio: CAF (IMA4/LPCM), WAV, and AIFF/AIFF-C.  Library files are the
 utils.serialize format (parameter-hash guarded).
@@ -148,6 +149,29 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_client(args) -> int:
+    """The essay's app side of the client/server split (PDF §3.2.4-3.2.5):
+    upload a recording, print the server's identification JSON."""
+    import urllib.error
+    import urllib.request
+
+    with open(args.clip, "rb") as f:
+        payload = f.read()
+    url = args.url.rstrip("/") + ("/fingerprint" if args.fingerprint
+                                  else "/identify")
+    req = urllib.request.Request(url, data=payload)
+    try:
+        with urllib.request.urlopen(req, timeout=args.timeout) as r:
+            print(r.read().decode())
+        return 0
+    except urllib.error.HTTPError as e:
+        print(e.read().decode(), file=sys.stderr)
+        return 1
+    except urllib.error.URLError as e:
+        print(f"cannot reach {args.url}: {e.reason}", file=sys.stderr)
+        return 2
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lbaudiodetective_tpu",
                                 description=__doc__.split("\n", 1)[0])
@@ -186,6 +210,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the library N-way over the device mesh "
                         "(multi-device hosts/pods; 0 = single device)")
     s.set_defaults(fn=cmd_serve)
+
+    cl = sub.add_parser("client", help="POST a clip to a running server")
+    cl.add_argument("clip")
+    cl.add_argument("--url", default="http://127.0.0.1:8414")
+    cl.add_argument("--fingerprint", action="store_true",
+                    help="request /fingerprint instead of /identify")
+    cl.add_argument("--timeout", type=float, default=120.0)
+    cl.set_defaults(fn=cmd_client)
     return p
 
 

@@ -74,3 +74,34 @@ def test_enroll_append(tiny_corpus, tmp_path, tmp_path_factory, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["track"] == "Crow"
     assert set(out["scores"]) == {"BlackBird", "Wren", "Crow"}
+
+
+def test_client_server_roundtrip(tiny_corpus, tmp_path, capsys):
+    """The essay's client/server split end to end: serve a library, POST a
+    clip with the client subcommand, parse the identification JSON."""
+    import threading
+
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+    from lbaudiodetective_tpu.serving import IdentificationService, make_server
+    from lbaudiodetective_tpu.__main__ import _load_library
+
+    lib_path = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(tiny_corpus), "-o", lib_path]) == 0
+    lib, names = _load_library(lib_path)
+    srv = make_server(IdentificationService(lib, names))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        crop = str(BIRDS_DIR / "Cropped/Equal" / "BlackBird_eql.caf")
+        capsys.readouterr()
+        assert main(["client", crop, "--url", url]) == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["track"] == "BlackBird" and out["score"] > 0.9
+        assert main(["client", crop, "--url", url, "--fingerprint"]) == 0
+        fp = json.loads(capsys.readouterr().out.strip())
+        assert fp["n"] > 0 and set(fp["fingerprint"]) <= {"0", "1", "+"}
+        # Unreachable server: exit code 2, not a traceback.
+        assert main(["client", crop, "--url", "http://127.0.0.1:1",
+                     "--timeout", "2"]) == 2
+    finally:
+        srv.shutdown()

@@ -110,6 +110,9 @@ def _load_library(path: str):
 def cmd_identify(args) -> int:
     import numpy as np
 
+    if args.top_k < 0:
+        print("--top-k must be non-negative", file=sys.stderr)
+        return 2
     lib, names = _load_library(args.library)
     fp, _ = _extract(args.clip)
     if args.top_k:

@@ -58,31 +58,26 @@ def decode_alaw(data: bytes) -> np.ndarray:
     return ALAW_TABLE[idx].astype(np.float32) / 32768.0
 
 
-def encode_mulaw(samples: np.ndarray) -> bytes:
-    """Linear float32 [-1,1) -> mu-law bytes (test/tooling helper).
-
-    Nearest-table-entry encoding: exactly inverts :func:`decode_mulaw`
-    on its own output and is within one quantisation step everywhere.
-    """
+def _encode_nearest(table: np.ndarray, samples: np.ndarray) -> bytes:
+    """Nearest-table-entry companding encode: exactly inverts the matching
+    decode on its own output and is within one quantisation step
+    everywhere (test/tooling helper)."""
     pcm = np.clip(np.asarray(samples, np.float32) * 32768.0, -32768, 32767)
-    order = np.argsort(MULAW_TABLE.astype(np.int32), kind="stable")
-    centers = MULAW_TABLE[order].astype(np.float32)
+    order = np.argsort(table.astype(np.int32), kind="stable")
+    centers = table[order].astype(np.float32)
     pos = np.searchsorted(centers, pcm)
     lo = np.clip(pos - 1, 0, 255)
     hi = np.clip(pos, 0, 255)
     pick = np.where(np.abs(centers[hi] - pcm) < np.abs(pcm - centers[lo]),
                     hi, lo)
     return order[pick].astype(np.uint8).tobytes()
+
+
+def encode_mulaw(samples: np.ndarray) -> bytes:
+    """Linear float32 [-1,1) -> mu-law bytes."""
+    return _encode_nearest(MULAW_TABLE, samples)
 
 
 def encode_alaw(samples: np.ndarray) -> bytes:
-    """Linear float32 [-1,1) -> A-law bytes (test/tooling helper)."""
-    pcm = np.clip(np.asarray(samples, np.float32) * 32768.0, -32768, 32767)
-    order = np.argsort(ALAW_TABLE.astype(np.int32), kind="stable")
-    centers = ALAW_TABLE[order].astype(np.float32)
-    pos = np.searchsorted(centers, pcm)
-    lo = np.clip(pos - 1, 0, 255)
-    hi = np.clip(pos, 0, 255)
-    pick = np.where(np.abs(centers[hi] - pcm) < np.abs(pcm - centers[lo]),
-                    hi, lo)
-    return order[pick].astype(np.uint8).tobytes()
+    """Linear float32 [-1,1) -> A-law bytes."""
+    return _encode_nearest(ALAW_TABLE, samples)

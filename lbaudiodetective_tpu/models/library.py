@@ -22,6 +22,25 @@ from lbaudiodetective_tpu.ops.match_packed import (
 from lbaudiodetective_tpu.utils import packing, serialize
 
 
+def stack_query_planes(queries: list[Fingerprint], s: int
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stack query fingerprints into zero-padded ``[B, s, pairs]`` uint8
+    planes + ``[B]`` counts (clamped to ``s``) — the one place the
+    query-padding/truncation semantics live (single-device and sharded
+    matchers all feed from it)."""
+    b = len(queries)
+    pairs = queries[0].pairs
+    qp = np.zeros((b, s, pairs), np.uint8)
+    qn = np.zeros_like(qp)
+    nq = np.zeros(b, np.int32)
+    for i, q in enumerate(queries):
+        n = min(q.num_subfingerprints, s)
+        nq[i] = n
+        qp[i, :n] = q.pos[:n]
+        qn[i, :n] = q.neg[:n]
+    return qp, qn, nq
+
+
 class FingerprintLibrary:
     def __init__(self, pos_words, neg_words, counts, pairs: int,
                  config: FingerprintConfig | None = None):
@@ -140,15 +159,7 @@ class FingerprintLibrary:
         if not queries:
             return np.zeros((0, len(self)), np.float32)
         s = int(self.pos_words.shape[1])
-        b = len(queries)
-        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
-        qn = np.zeros_like(qp)
-        nq = np.zeros(b, np.int32)
-        for i, q in enumerate(queries):
-            n = min(q.num_subfingerprints, s)
-            nq[i] = n
-            qp[i, :n] = q.pos[:n]
-            qn[i, :n] = q.neg[:n]
+        qp, qn, nq = stack_query_planes(queries, s)
         qpw = pack_bits_device(jnp.asarray(qp))
         qnw = pack_bits_device(jnp.asarray(qn))
         batched = jax.vmap(match_one_vs_many_packed,
@@ -256,15 +267,7 @@ class FingerprintLibrary:
             return (idx.astype(np.int64),
                     np.take_along_axis(scores, idx, axis=1))
         s = int(self.pos_words.shape[1])
-        b = len(queries)
-        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
-        qn = np.zeros_like(qp)
-        nq = np.zeros(b, np.int32)
-        for i, q in enumerate(queries):
-            n = min(q.num_subfingerprints, s)
-            nq[i] = n
-            qp[i, :n] = q.pos[:n]
-            qn[i, :n] = q.neg[:n]
+        qp, qn, nq = stack_query_planes(queries, s)
         chunk = min(chunk, l)
         key = (coarse_stride, chunk)
         if key not in self._coarse_cache:

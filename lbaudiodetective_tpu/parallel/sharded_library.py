@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lbaudiodetective_tpu.models.fingerprint import Fingerprint
-from lbaudiodetective_tpu.models.library import FingerprintLibrary
+from lbaudiodetective_tpu.models.library import (FingerprintLibrary,
+                                                 stack_query_planes)
 from lbaudiodetective_tpu.ops.match_packed import pack_bits_device
 from lbaudiodetective_tpu.parallel.sharded_packed import (
     match_library_sharded_packed, search_library_sharded_packed)
@@ -77,6 +78,9 @@ class ShardedFingerprintLibrary:
                 pack_bits_device(jnp.asarray(qn)), jnp.int32(n))
 
     def _coarse_planes(self, stride: int):
+        if stride <= 1:
+            # stride 1 would duplicate the whole packed library on the mesh.
+            return self.pos_words, self.neg_words, self.counts
         if stride not in self._coarse_cache:
             lib_sh = NamedSharding(self.mesh, P("library", None, None))
             cnt_sh = NamedSharding(self.mesh, P("library"))
@@ -111,15 +115,7 @@ class ShardedFingerprintLibrary:
             return np.zeros((0, self._l), np.float32)
         self.config.warn_if_unvalidated_for_identification()
         s = int(self.pos_words.shape[1])
-        b = len(queries)
-        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
-        qn = np.zeros_like(qp)
-        nq = np.zeros(b, np.int32)
-        for i, q in enumerate(queries):
-            n = min(q.num_subfingerprints, s)
-            nq[i] = n
-            qp[i, :n] = q.pos[:n]
-            qn[i, :n] = q.neg[:n]
+        qp, qn, nq = stack_query_planes(queries, s)
         scores = match_many_library_sharded_packed(
             pack_bits_device(jnp.asarray(qp)), pack_bits_device(jnp.asarray(qn)),
             jnp.asarray(nq), self.pos_words, self.neg_words, self.counts,
@@ -173,14 +169,7 @@ class ShardedFingerprintLibrary:
         top_k = min(top_k, self._l)
         s = int(self.pos_words.shape[1])
         b = len(queries)
-        qp = np.zeros((b, s, queries[0].pairs), np.uint8)
-        qn = np.zeros_like(qp)
-        nq = np.zeros(b, np.int32)
-        for i, q in enumerate(queries):
-            n = min(q.num_subfingerprints, s)
-            nq[i] = n
-            qp[i, :n] = q.pos[:n]
-            qn[i, :n] = q.neg[:n]
+        qp, qn, nq = stack_query_planes(queries, s)
         qpw = pack_bits_device(jnp.asarray(qp))
         qnw = pack_bits_device(jnp.asarray(qn))
         qcp = pack_bits_device(jnp.asarray(qp[:, ::coarse_stride]))

@@ -28,6 +28,38 @@ from lbaudiodetective_tpu.ops.match_packed import (_mask_words,
                                                   match_one_vs_many_packed)
 
 
+@functools.lru_cache(maxsize=128)
+def _match_runner(mesh: Mesh, pairs: int, comparison_range: int,
+                  subfingerprint_length: int, batched: bool):
+    """Build (once per static config) the jitted sharded match runner.
+
+    Constructing the jit inside the public functions would re-trace and
+    re-compile the whole mesh program on EVERY call (each fresh closure
+    starts with an empty jit cache) — a serving request must reuse one
+    compiled executable.  The cache holds only callables and the hashable
+    mesh, never arrays (tracer-leak gotcha).
+    """
+    lib_sh = NamedSharding(mesh, P("library", None, None))
+    cnt_sh = NamedSharding(mesh, P("library"))
+    rep = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P(None, "library")) if batched else cnt_sh
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep, lib_sh, lib_sh, cnt_sh),
+        out_shardings=out_sh,
+    )
+    def run(qp, qn, nq, lp, ln, nl):
+        def one(qp1, qn1, n1):
+            return match_one_vs_many_packed(
+                qp1, qn1, n1, lp, ln, nl, pairs,
+                comparison_range, subfingerprint_length)
+
+        return jax.vmap(one)(qp, qn, nq) if batched else one(qp, qn, nq)
+
+    return run
+
+
 def match_library_sharded_packed(q_pos_w, q_neg_w, n_query,
                                  lib_pos_w, lib_neg_w, n_lib,
                                  pairs: int, mesh: Mesh,
@@ -40,20 +72,8 @@ def match_library_sharded_packed(q_pos_w, q_neg_w, n_query,
     Returns ``[L]`` scores sharded over ``"library"``.  Embarrassingly
     parallel — each device runs the popcount matcher on its resident shard.
     """
-    lib_sh = NamedSharding(mesh, P("library", None, None))
-    cnt_sh = NamedSharding(mesh, P("library"))
-    rep = NamedSharding(mesh, P())
-
-    @functools.partial(
-        jax.jit,
-        in_shardings=(rep, rep, rep, lib_sh, lib_sh, cnt_sh),
-        out_shardings=cnt_sh,
-    )
-    def run(qp, qn, nq, lp, ln, nl):
-        return match_one_vs_many_packed(
-            qp, qn, nq, lp, ln, nl, pairs,
-            comparison_range, subfingerprint_length)
-
+    run = _match_runner(mesh, pairs, comparison_range,
+                        subfingerprint_length, False)
     return run(q_pos_w, q_neg_w, n_query, lib_pos_w, lib_neg_w, n_lib)
 
 
@@ -66,22 +86,8 @@ def match_many_library_sharded_packed(q_pos_w, q_neg_w, n_query,
     on ``q*``, replicated) -> ``[B, L]`` scores sharded over ``"library"``,
     in ONE mesh dispatch (each device vmaps the popcount matcher over the
     query batch on its resident shard)."""
-    lib_sh = NamedSharding(mesh, P("library", None, None))
-    cnt_sh = NamedSharding(mesh, P("library"))
-    rep = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P(None, "library"))
-
-    @functools.partial(
-        jax.jit,
-        in_shardings=(rep, rep, rep, lib_sh, lib_sh, cnt_sh),
-        out_shardings=out_sh,
-    )
-    def run(qp, qn, nq, lp, ln, nl):
-        return jax.vmap(
-            lambda qp1, qn1, n1: match_one_vs_many_packed(
-                qp1, qn1, n1, lp, ln, nl, pairs,
-                comparison_range, subfingerprint_length))(qp, qn, nq)
-
+    run = _match_runner(mesh, pairs, comparison_range,
+                        subfingerprint_length, True)
     return run(q_pos_w, q_neg_w, n_query, lib_pos_w, lib_neg_w, n_lib)
 
 
@@ -261,21 +267,47 @@ def search_library_sharded_packed(q_pos_w, q_neg_w, n_query,
     shortlist — the same recall property as the single-device search,
     per shard.  Returns ``(indices [top_k], exact scores [top_k])``.
     """
-    from lbaudiodetective_tpu.ops.match_packed import two_stage_search_packed
-
     import numpy as np
 
     n_sh = mesh.shape["library"]
-    shard = NamedSharding(mesh, P("library", None, None))
-    cnt_sh = NamedSharding(mesh, P("library"))
-    rep = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P("library"))
     l_local = lib_pos_w.shape[0] // n_sh
     chunk = min(chunk, libc_pos_w.shape[0] // n_sh)
     k_local = min(top_k, l_local)
     # The exact stage re-scores `shortlist` candidates and the local top-k
     # draws from them, so the shortlist must cover k_local (tiny shards).
     shortlist = max(min(shortlist, l_local), k_local)
+    run = _search_runner(mesh, pairs, comparison_range,
+                         subfingerprint_length, coarse_range, chunk,
+                         shortlist, k_local, False)
+    idx_all, sc_all = run(q_pos_w, q_neg_w, n_query,
+                          qc_pos_w, qc_neg_w, n_query_c,
+                          lib_pos_w, lib_neg_w, n_lib,
+                          libc_pos_w, libc_neg_w, n_lib_c)
+    idx_all = np.asarray(idx_all)
+    sc_all = np.asarray(sc_all)
+    order = np.argsort(-sc_all, kind="stable")[:top_k]
+    return idx_all[order].astype(np.int64), sc_all[order]
+
+
+@functools.lru_cache(maxsize=128)
+def _search_runner(mesh: Mesh, pairs: int, comparison_range: int,
+                   subfingerprint_length: int, coarse_range: int,
+                   chunk: int, shortlist: int, k_local: int, batched: bool):
+    """Build (once per static config) the jitted sharded search runner.
+
+    Per-shard, the coarse planes are zero-padded up to a ``chunk`` multiple
+    INSIDE the shard_map body — two_stage_search_packed requires it, and a
+    real shard size (e.g. 1M/8 = 125,000) is rarely divisible by the chunk;
+    the padded entries are masked by the exact-plane length, so scores are
+    unaffected.  See :func:`_match_runner` for why construction is cached.
+    """
+    from lbaudiodetective_tpu.ops.match_packed import two_stage_search_packed
+
+    shard = NamedSharding(mesh, P("library", None, None))
+    cnt_sh = NamedSharding(mesh, P("library"))
+    rep = NamedSharding(mesh, P())
+    out_spec = P(None, "library") if batched else P("library")
+    out_sh = NamedSharding(mesh, out_spec)
 
     @functools.partial(
         jax.jit,
@@ -290,24 +322,29 @@ def search_library_sharded_packed(q_pos_w, q_neg_w, n_query,
                   P("library"),
                   P("library", None, None), P("library", None, None),
                   P("library")),
-        out_specs=(P("library"), P("library")),
+        out_specs=(out_spec, out_spec),
     )
     def run(qp, qn, nq, qcp, qcn, nqc, lp, ln, nl, lcp, lcn, nlc):
-        idx, sc = two_stage_search_packed(
-            qp, qn, nq, qcp, qcn, nqc, lp, ln, nl, lcp, lcn, nlc,
-            pairs, comparison_range, subfingerprint_length,
-            coarse_range, chunk, shortlist, k_local)
-        offset = jax.lax.axis_index("library").astype(idx.dtype) * l_local
+        pad = (-lcp.shape[0]) % chunk
+        if pad:
+            lcp = jnp.pad(lcp, ((0, pad), (0, 0), (0, 0)))
+            lcn = jnp.pad(lcn, ((0, pad), (0, 0), (0, 0)))
+            nlc = jnp.pad(nlc, (0, pad))
+
+        def one(qp1, qn1, n1, qcp1, qcn1, nc1):
+            return two_stage_search_packed(
+                qp1, qn1, n1, qcp1, qcn1, nc1, lp, ln, nl, lcp, lcn, nlc,
+                pairs, comparison_range, subfingerprint_length,
+                coarse_range, chunk, shortlist, k_local)
+
+        if batched:
+            idx, sc = jax.vmap(one)(qp, qn, nq, qcp, qcn, nqc)
+        else:
+            idx, sc = one(qp, qn, nq, qcp, qcn, nqc)
+        offset = jax.lax.axis_index("library").astype(idx.dtype) * lp.shape[0]
         return idx + offset, sc
 
-    idx_all, sc_all = run(q_pos_w, q_neg_w, n_query,
-                          qc_pos_w, qc_neg_w, n_query_c,
-                          lib_pos_w, lib_neg_w, n_lib,
-                          libc_pos_w, libc_neg_w, n_lib_c)
-    idx_all = np.asarray(idx_all)
-    sc_all = np.asarray(sc_all)
-    order = np.argsort(-sc_all, kind="stable")[:top_k]
-    return idx_all[order].astype(np.int64), sc_all[order]
+    return run
 
 
 def search_many_library_sharded_packed(q_pos_w, q_neg_w, n_query,
@@ -328,46 +365,16 @@ def search_many_library_sharded_packed(q_pos_w, q_neg_w, n_query,
     merged host-side per query — the pod-serving batcher's search stage
     (B serving requests cost one collective dispatch, not B).
     """
-    from lbaudiodetective_tpu.ops.match_packed import two_stage_search_packed
-
     import numpy as np
 
     n_sh = mesh.shape["library"]
-    shard = NamedSharding(mesh, P("library", None, None))
-    cnt_sh = NamedSharding(mesh, P("library"))
-    rep = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P(None, "library"))
     l_local = lib_pos_w.shape[0] // n_sh
     chunk = min(chunk, libc_pos_w.shape[0] // n_sh)
     k_local = min(top_k, l_local)
     shortlist = max(min(shortlist, l_local), k_local)
-
-    @functools.partial(
-        jax.jit,
-        in_shardings=(rep, rep, rep, rep, rep, rep,
-                      shard, shard, cnt_sh, shard, shard, cnt_sh),
-        out_shardings=(out_sh, out_sh),
-    )
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(),
-                  P("library", None, None), P("library", None, None),
-                  P("library"),
-                  P("library", None, None), P("library", None, None),
-                  P("library")),
-        out_specs=(P(None, "library"), P(None, "library")),
-    )
-    def run(qp, qn, nq, qcp, qcn, nqc, lp, ln, nl, lcp, lcn, nlc):
-        def one(qp1, qn1, n1, qcp1, qcn1, nc1):
-            return two_stage_search_packed(
-                qp1, qn1, n1, qcp1, qcn1, nc1, lp, ln, nl, lcp, lcn, nlc,
-                pairs, comparison_range, subfingerprint_length,
-                coarse_range, chunk, shortlist, k_local)
-
-        idx, sc = jax.vmap(one)(qp, qn, nq, qcp, qcn, nqc)   # [B, k_local]
-        offset = jax.lax.axis_index("library").astype(idx.dtype) * l_local
-        return idx + offset, sc
-
+    run = _search_runner(mesh, pairs, comparison_range,
+                         subfingerprint_length, coarse_range, chunk,
+                         shortlist, k_local, True)
     idx_all, sc_all = run(q_pos_w, q_neg_w, n_query,
                           qc_pos_w, qc_neg_w, n_query_c,
                           lib_pos_w, lib_neg_w, n_lib,

@@ -79,6 +79,27 @@ def test_search_many_batched_equals_looped(mesh):
         np.testing.assert_allclose(bs[r], rs, rtol=0, atol=0)
 
 
+def test_search_chunk_not_dividing_shard(mesh):
+    """A chunk size that does not divide the per-shard slice must work (the
+    pod-scale shape: 1M/8 = 125,000 is not a multiple of 65,536) — the
+    coarse planes pad per shard inside the runner.  Returned scores are
+    exact re-scores, so they must equal the brute-force matcher's."""
+    rng = np.random.default_rng(85)
+    fps = _fps(rng, [6 + (i % 5) for i in range(24)])   # l_local=6, chunk 4
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    for qi in (0, 11, 23):
+        idx, sc = slib.search(fps[qi], top_k=3, shortlist=2, chunk=4,
+                              coarse_stride=2)
+        brute = lib.match(fps[qi])
+        assert int(idx[0]) == qi and sc[0] == pytest.approx(1.0)
+        for j, s in zip(idx, sc):
+            assert s == brute[int(j)]                  # exact re-score
+    bi, bs = slib.search_many([fps[0], fps[11]], top_k=3, shortlist=2,
+                              chunk=4, coarse_stride=2)
+    assert int(bi[0, 0]) == 0 and int(bi[1, 0]) == 11
+
+
 def test_match_many_and_identify(mesh):
     rng = np.random.default_rng(83)
     fps = _fps(rng, [6, 9, 12, 4, 8])

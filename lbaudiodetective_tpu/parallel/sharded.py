@@ -27,6 +27,19 @@ from lbaudiodetective_tpu.ops.extract import extract_fingerprint_padded
 from lbaudiodetective_tpu.ops.match import _pair_mask, offset_scores, similarity_matrix
 
 
+@functools.lru_cache(maxsize=128)
+def _extract_dp_runner(mesh: Mesh, config: FingerprintConfig, n_rows: int):
+    """Cached jitted runner — rebuilding the jit per call would retrace
+    and recompile the mesh program every time (see sharded_packed)."""
+    data_sharding = NamedSharding(mesh, P("data", None))
+    out_sharding = NamedSharding(mesh, P("data", None, None))
+    return jax.jit(
+        functools.partial(extract_fingerprint_padded, config=config, n_rows=n_rows),
+        in_shardings=(data_sharding, NamedSharding(mesh, P("data"))),
+        out_shardings=(out_sharding, out_sharding),
+    )
+
+
 def extract_data_parallel(audio, n_valid_sub, config: FingerprintConfig,
                           n_rows: int, mesh: Mesh):
     """Batched extraction with the clip axis sharded over the "data" axis.
@@ -34,28 +47,12 @@ def extract_data_parallel(audio, n_valid_sub, config: FingerprintConfig,
     audio: ``[B, T]`` float32 (B divisible by the data-axis size);
     n_valid_sub: ``[B]`` int32.  Returns (pos, neg) sharded the same way.
     """
-    data_sharding = NamedSharding(mesh, P("data", None))
-    out_sharding = NamedSharding(mesh, P("data", None, None))
-    fn = jax.jit(
-        functools.partial(extract_fingerprint_padded, config=config, n_rows=n_rows),
-        in_shardings=(data_sharding, NamedSharding(mesh, P("data"))),
-        out_shardings=(out_sharding, out_sharding),
-    )
-    return fn(audio, n_valid_sub)
+    return _extract_dp_runner(mesh, config, n_rows)(audio, n_valid_sub)
 
 
-def match_library_sharded(query_pos, query_neg, n_query,
-                          lib_pos, lib_neg, n_lib, mesh: Mesh,
-                          comparison_range: int = 0,
-                          subfingerprint_length: int = 200):
-    """One-vs-many with the library axis sharded over "library".
-
-    query: ``[S, pairs]`` + scalar count (replicated); library: ``[L, S,
-    pairs]`` + ``[L]`` counts, L divisible by the library-axis size.  Returns
-    ``[L]`` scores sharded over "library".  Embarrassingly parallel: each
-    device matches its shard; no collective beyond the final gather the
-    caller chooses to do.
-    """
+@functools.lru_cache(maxsize=128)
+def _match_sharded_runner(mesh: Mesh, comparison_range: int,
+                          subfingerprint_length: int):
     lib_sharding = NamedSharding(mesh, P("library", None, None))
     cnt_sharding = NamedSharding(mesh, P("library"))
     rep = NamedSharding(mesh, P())
@@ -84,6 +81,22 @@ def match_library_sharded(query_pos, query_neg, n_query,
         sim = similarity_matrix(pos_l, neg_l, pos_s, neg_s, mask)
         return offset_scores(sim, n_l, n_s)
 
+    return run
+
+
+def match_library_sharded(query_pos, query_neg, n_query,
+                          lib_pos, lib_neg, n_lib, mesh: Mesh,
+                          comparison_range: int = 0,
+                          subfingerprint_length: int = 200):
+    """One-vs-many with the library axis sharded over "library".
+
+    query: ``[S, pairs]`` + scalar count (replicated); library: ``[L, S,
+    pairs]`` + ``[L]`` counts, L divisible by the library-axis size.  Returns
+    ``[L]`` scores sharded over "library".  Embarrassingly parallel: each
+    device matches its shard; no collective beyond the final gather the
+    caller chooses to do.
+    """
+    run = _match_sharded_runner(mesh, comparison_range, subfingerprint_length)
     return run(query_pos, query_neg, n_query, lib_pos, lib_neg, n_lib)
 
 
@@ -98,11 +111,18 @@ def ring_all_pairs_scores(pos, neg, counts, mesh: Mesh, axis: str = "library",
     against track j.  Each ring step matches the resident shard against the
     visiting block, then rotates the block; n_steps = ring size.
     """
+    run = _ring_runner(mesh, axis, int(pos.shape[-1]), comparison_range,
+                       subfingerprint_length)
+    return run(pos, neg, counts)
+
+
+@functools.lru_cache(maxsize=128)
+def _ring_runner(mesh: Mesh, axis: str, pairs: int, comparison_range: int,
+                 subfingerprint_length: int):
     n_ring = mesh.shape[axis]
     shard = NamedSharding(mesh, P(axis, None, None))
     cnt_sh = NamedSharding(mesh, P(axis))
     out_sh = NamedSharding(mesh, P(axis, None))
-    pairs = pos.shape[-1]
     mask = _pair_mask(pairs, comparison_range, subfingerprint_length)
 
     def step_scores(res_pos, res_neg, res_cnt, vis_pos, vis_neg, vis_cnt):
@@ -159,4 +179,4 @@ def ring_all_pairs_scores(pos, neg, counts, mesh: Mesh, axis: str = "library",
             out = jax.lax.dynamic_update_slice(out, blocks[step], (0, start))
         return out
 
-    return run(pos, neg, counts)
+    return run

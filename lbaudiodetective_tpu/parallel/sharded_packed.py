@@ -147,6 +147,14 @@ def ring_all_pairs_scores_packed(pos_w, neg_w, counts, pairs: int, mesh: Mesh,
     exactly equal to parallel.sharded.ring_all_pairs_scores on the unpacked
     planes.
     """
+    run = _ring_packed_runner(mesh, axis, pairs, comparison_range,
+                              subfingerprint_length)
+    return run(pos_w, neg_w, counts)
+
+
+@functools.lru_cache(maxsize=128)
+def _ring_packed_runner(mesh: Mesh, axis: str, pairs: int,
+                        comparison_range: int, subfingerprint_length: int):
     n_ring = mesh.shape[axis]
     shard = NamedSharding(mesh, P(axis, None, None))
     cnt_sh = NamedSharding(mesh, P(axis))
@@ -180,7 +188,7 @@ def ring_all_pairs_scores_packed(pos_w, neg_w, counts, pairs: int, mesh: Mesh,
                 vis = tuple(jax.lax.ppermute(v, axis, perm) for v in vis)
         return out
 
-    return run(pos_w, neg_w, counts)
+    return run
 
 
 def ring_dedup_topk_packed(pos_w, neg_w, counts, pairs: int, mesh: Mesh,
@@ -195,6 +203,14 @@ def ring_dedup_topk_packed(pos_w, neg_w, counts, pairs: int, mesh: Mesh,
     packed uint32 words (16x less ICI traffic per step) and the resident
     shard stays packed in HBM (the only form that fits 1M tracks).
     """
+    run = _dedup_packed_runner(mesh, axis, pairs, k, comparison_range,
+                               subfingerprint_length)
+    return run(pos_w, neg_w, counts)
+
+
+@functools.lru_cache(maxsize=128)
+def _dedup_packed_runner(mesh: Mesh, axis: str, pairs: int, k: int,
+                         comparison_range: int, subfingerprint_length: int):
     n_ring = mesh.shape[axis]
     shard = NamedSharding(mesh, P(axis, None, None))
     cnt_sh = NamedSharding(mesh, P(axis))
@@ -241,7 +257,7 @@ def ring_dedup_topk_packed(pos_w, neg_w, counts, pairs: int, mesh: Mesh,
                 vis = tuple(jax.lax.ppermute(v, axis, perm) for v in vis)
         return best_scores, best_idx
 
-    return run(pos_w, neg_w, counts)
+    return run
 
 
 def search_library_sharded_packed(q_pos_w, q_neg_w, n_query,

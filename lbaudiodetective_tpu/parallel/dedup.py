@@ -29,11 +29,20 @@ def ring_dedup_topk(pos, neg, counts, mesh: Mesh, k: int = 8,
     best-matching *other* tracks per track (self-matches masked out), rows
     sharded over ``axis``.
     """
+    run = _dedup_runner(mesh, axis, int(pos.shape[-1]), k,
+                        comparison_range, subfingerprint_length)
+    return run(pos, neg, counts)
+
+
+@functools.lru_cache(maxsize=128)
+def _dedup_runner(mesh: Mesh, axis: str, pairs: int, k: int,
+                  comparison_range: int, subfingerprint_length: int):
+    """Cached jitted runner (see parallel.sharded: per-call jit construction
+    retraces the mesh program every time)."""
     n_ring = mesh.shape[axis]
     shard = NamedSharding(mesh, P(axis, None, None))
     cnt_sh = NamedSharding(mesh, P(axis))
     out_sh = NamedSharding(mesh, P(axis, None))
-    pairs = pos.shape[-1]
     mask = _pair_mask(pairs, comparison_range, subfingerprint_length)
 
     def block_scores(res, vis):
@@ -90,4 +99,4 @@ def ring_dedup_topk(pos, neg, counts, mesh: Mesh, k: int = 8,
                 vis = tuple(jax.lax.ppermute(v, axis, perm) for v in vis)
         return best_scores, best_idx
 
-    return run(pos, neg, counts)
+    return run

@@ -62,6 +62,42 @@ class ShardedFingerprintLibrary:
     def __len__(self) -> int:
         return self._l
 
+    # -- persistence (pod restart path) --------------------------------------
+
+    def save_sharded(self, dir_path: str, n_shards: int | None = None) -> None:
+        """Persist as the utils.serialize sharded mmap DB (default: one
+        shard file per library-axis device, so a restarting host can
+        re-attach exactly its slice — tests/test_distributed.py flow)."""
+        from lbaudiodetective_tpu.utils import serialize
+
+        serialize.save_library_sharded_planes(
+            dir_path, np.asarray(self.inner.pos_words),
+            np.asarray(self.inner.neg_words), np.asarray(self.inner.counts),
+            self.pairs, self.config.subfingerprint_length, self.config,
+            n_shards or self.mesh.shape["library"])
+
+    @classmethod
+    def load_sharded(cls, dir_path: str, mesh: Mesh,
+                     config=None) -> "ShardedFingerprintLibrary":
+        """Re-attach an on-disk sharded DB to a mesh (any shard count —
+        planes are concatenated, trimmed to the true entry count, and
+        re-sharded over the mesh's library axis)."""
+        import json
+
+        from lbaudiodetective_tpu.utils.serialize import load_library_shard
+
+        with open(f"{dir_path}/manifest.json") as f:
+            manifest = json.load(f)
+        parts = [load_library_shard(dir_path, s, config)[:3]
+                 for s in range(manifest["n_shards"])]
+        l = manifest["entries"]
+        lib = FingerprintLibrary(
+            np.concatenate([p[0] for p in parts])[:l],
+            np.concatenate([p[1] for p in parts])[:l],
+            np.concatenate([p[2] for p in parts])[:l],
+            manifest["pairs"], config)
+        return cls(lib, mesh)
+
     # -- internals -----------------------------------------------------------
 
     def _query_planes(self, query: Fingerprint, stride: int = 1):

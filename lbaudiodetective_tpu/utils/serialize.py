@@ -150,6 +150,45 @@ def save_library_sharded(dir_path: str, fps: list[Fingerprint],
         np.save(f"{dir_path}/shard_{s:04d}_counts.npy", counts[sl])
 
 
+def save_library_sharded_planes(dir_path: str, pos_words: np.ndarray,
+                                neg_words: np.ndarray, counts: np.ndarray,
+                                pairs: int, subfingerprint_length: int,
+                                config: FingerprintConfig,
+                                n_shards: int) -> None:
+    """:func:`save_library_sharded` for an already-packed library (the
+    device-resident form — e.g. persisting a served
+    ShardedFingerprintLibrary without round-tripping through Fingerprint
+    objects).  Same on-disk format / manifest; entries pad to equal
+    shard sizes with count-0 tails."""
+    import os
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    l = int(pos_words.shape[0])
+    if l == 0:
+        raise ValueError("empty library")
+    os.makedirs(dir_path, exist_ok=True)
+    per = -(-l // n_shards)
+    pad = per * n_shards - l
+    pos = np.pad(np.asarray(pos_words), ((0, pad), (0, 0), (0, 0)))
+    neg = np.pad(np.asarray(neg_words), ((0, pad), (0, 0), (0, 0)))
+    cnt = np.pad(np.asarray(counts), (0, pad))
+    manifest = {
+        "version": FORMAT_VERSION, "n_shards": n_shards, "entries": l,
+        "entries_per_shard": per, "s_max": int(pos.shape[1]),
+        "words": int(pos.shape[2]), "pairs": int(pairs),
+        "subfingerprint_length": int(subfingerprint_length),
+        "params_hash": config_params_hash(config),
+    }
+    with open(f"{dir_path}/manifest.json", "w") as f:
+        json.dump(manifest, f)
+    for s in range(n_shards):
+        sl = slice(s * per, (s + 1) * per)
+        np.save(f"{dir_path}/shard_{s:04d}_pos.npy", pos[sl])
+        np.save(f"{dir_path}/shard_{s:04d}_neg.npy", neg[sl])
+        np.save(f"{dir_path}/shard_{s:04d}_counts.npy", cnt[sl])
+
+
 def load_library_shard(dir_path: str, shard: int,
                        config: FingerprintConfig | None = None,
                        mmap: bool = True

@@ -112,6 +112,31 @@ def test_match_many_and_identify(mesh):
     assert bi == 2 and bs == pytest.approx(1.0)
 
 
+def test_save_load_sharded_roundtrip(mesh, tmp_path):
+    """Pod restart path: persist the sharded DB (one file per library-axis
+    device), re-attach to the mesh, and get identical scores — including
+    when the on-disk shard count differs from the mesh axis."""
+    rng = np.random.default_rng(86)
+    fps = _fps(rng, [7, 4, 9, 5, 11, 6, 8])            # 7 entries: pads
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    d = str(tmp_path / "db")
+    slib.save_sharded(d)
+    re = ShardedFingerprintLibrary.load_sharded(d, mesh, lib.config)
+    assert len(re) == 7
+    np.testing.assert_array_equal(re.match(fps[3]), slib.match(fps[3]))
+    # Different shard count on disk than mesh axis: still reconstructs.
+    d2 = str(tmp_path / "db2")
+    slib.save_sharded(d2, n_shards=3)
+    re2 = ShardedFingerprintLibrary.load_sharded(d2, mesh, lib.config)
+    np.testing.assert_array_equal(re2.match(fps[3]), slib.match(fps[3]))
+    # Parameter-hash guard still applies.
+    from lbaudiodetective_tpu.config import FingerprintConfig
+    with pytest.raises(ValueError):
+        ShardedFingerprintLibrary.load_sharded(
+            d, mesh, FingerprintConfig(subfingerprint_length=100))
+
+
 def test_serving_edge_with_sharded_library(mesh, tmp_path):
     """IdentificationService duck-types over the sharded library: identical
     responses to the single-device service on a real corpus payload."""

@@ -62,15 +62,20 @@ class StreamingIdentifier:
         self.batch = batch
         self._since_match = 0
         self._results = [StreamMatch(-1, 0.0, 0) for _ in range(batch)]
-        # Unpacked library planes for the vmapped batch matcher (the packed
-        # popcount matcher is one-vs-many; B streams batch better through
-        # the shared-hits matmul form).
-        from lbaudiodetective_tpu.utils import packing
+        #: Mesh-sharded libraries (ShardedFingerprintLibrary duck-typed via
+        #: its mesh attribute) match through their own batched collective
+        #: dispatch — unpacking them to host would defeat pod residency.
+        self._sharded = hasattr(library, "mesh")
+        if not self._sharded:
+            # Unpacked library planes for the vmapped batch matcher (the
+            # packed popcount matcher is one-vs-many; B streams batch better
+            # through the shared-hits matmul form).
+            from lbaudiodetective_tpu.utils import packing
 
-        self._lib_pos = jnp.asarray(packing.unpack_bits(
-            np.asarray(library.pos_words), library.pairs))
-        self._lib_neg = jnp.asarray(packing.unpack_bits(
-            np.asarray(library.neg_words), library.pairs))
+            self._lib_pos = jnp.asarray(packing.unpack_bits(
+                np.asarray(library.pos_words), library.pairs))
+            self._lib_neg = jnp.asarray(packing.unpack_bits(
+                np.asarray(library.neg_words), library.pairs))
 
     # -- ingestion ------------------------------------------------------------
 
@@ -109,6 +114,20 @@ class StreamingIdentifier:
             return
         pos, neg, n_sub = acc
         if n_sub == 0:
+            return
+        if self._sharded:
+            # One collective dispatch over the mesh; queries clamp to the
+            # library's subfingerprint capacity (stack_query_planes).
+            from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+
+            fps = [Fingerprint.from_planes(pos[b, :n_sub], neg[b, :n_sub],
+                                           self.config.subfingerprint_length)
+                   for b in range(self.batch)]
+            scores = self.library.match_many(fps)
+            best = scores.argmax(axis=1)
+            for b in range(self.batch):
+                self._results[b] = StreamMatch(
+                    int(best[b]), float(scores[b, best[b]]), n_sub)
             return
         s = max(bucket_subfingerprints(n_sub), int(self._lib_pos.shape[1]))
         qp = np.zeros((self.batch, s, self.library.pairs), np.uint8)

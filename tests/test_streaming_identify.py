@@ -76,3 +76,40 @@ def test_streams_identify_their_bird(corpus_lib, decoded_corpus,
             np.asarray(corpus_lib.counts), 0, cfg.subfingerprint_length))
         assert results[b].track == int(ref.argmax())
         assert results[b].score == pytest.approx(float(ref.max()), abs=1e-6)
+
+
+def test_streaming_identify_sharded_library(corpus_lib, decoded_corpus,
+                                            default_config):
+    """StreamingIdentifier over a mesh-sharded library: one collective
+    match dispatch per tick, results identical to the single-device
+    streaming identifier on the same streams."""
+    import jax
+
+    from lbaudiodetective_tpu.parallel.mesh import make_mesh
+    from lbaudiodetective_tpu.parallel.sharded_library import (
+        ShardedFingerprintLibrary)
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8, library_parallelism=4)
+    slib = ShardedFingerprintLibrary(corpus_lib, mesh)
+
+    cfg = default_config
+    batch, chunk = 2, 1024
+    clips = [decoded_corpus[BIRDS[0] + "_eql"], decoded_corpus[BIRDS[3] + "_eql"]]
+    total = min(c.samples.shape[0] for c in clips)
+    n_steps = total // chunk
+    audio = np.stack([c.samples[: n_steps * chunk] for c in clips])
+
+    plain = StreamingIdentifier(corpus_lib, batch=batch, chunk_size=chunk,
+                                config=cfg, match_every=2)
+    sharded = StreamingIdentifier(slib, batch=batch, chunk_size=chunk,
+                                  config=cfg, match_every=2)
+    for s in range(n_steps):
+        plain.feed(audio[:, s * chunk:(s + 1) * chunk])
+        sharded.feed(audio[:, s * chunk:(s + 1) * chunk])
+    rp, rs = plain.finalize(), sharded.finalize()
+    for a, b in zip(rp, rs):
+        assert a.track == b.track
+        assert a.score == pytest.approx(b.score, abs=1e-6)
+        assert a.n_subfingerprints == b.n_subfingerprints
+    assert rs[0].track == 0 and rs[1].track == 3

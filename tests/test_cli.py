@@ -105,3 +105,10 @@ def test_client_server_roundtrip(tiny_corpus, tmp_path, capsys):
                      "--timeout", "2"]) == 2
     finally:
         srv.shutdown()
+
+
+def test_identify_negative_top_k(tiny_corpus, tmp_path, capsys):
+    lib = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(tiny_corpus), "-o", lib]) == 0
+    crop = str(BIRDS_DIR / "Cropped/Equal" / "BlackBird_eql.caf")
+    assert main(["identify", crop, "--library", lib, "--top-k", "-1"]) == 2

@@ -361,3 +361,44 @@ def test_extract_batch_static_shapes_bitexact(decoded_corpus, default_config):
         [clips[0]], default_config, n_sub_cap=cap)
     assert int(n_t[0]) == cap
     np.testing.assert_array_equal(pos_t[0, :cap], pos_d[0, :cap])
+
+
+def test_serving_soak_mixed_load(decoded_corpus, default_config):
+    """Soak the micro-batched service with interleaved valid and garbage
+    payloads from many threads: every request completes (result or typed
+    error), batches never strand a follower, and the pending queue drains."""
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+    from lbaudiodetective_tpu import errors
+
+    fps = []
+    for b in BIRDS[:3]:
+        pos, neg, n = extract_fingerprint(decoded_corpus[b], default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:n]),
+                                           np.asarray(neg[:n])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    svc = IdentificationService(lib, BIRDS[:3], default_config,
+                                batch_window_s=0.1, max_batch=3, n_sub_cap=64)
+    good = open(corpus_path(BIRDS[0] + "_eql"), "rb").read()
+    bad = b"caff" + b"\x00" * 64                 # parses as CAF, no chunks
+    outcomes = [None] * 24
+
+    def worker(i):
+        try:
+            outcomes[i] = svc.identify(good if i % 3 else bad)
+        except errors.AudioDetectiveError:
+            outcomes[i] = "typed-error"
+        except Exception as e:  # noqa: BLE001
+            outcomes[i] = f"UNTYPED:{type(e).__name__}"
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not any(t.is_alive() for t in threads)
+    assert svc._pending == []                    # queue fully drained
+    for i, o in enumerate(outcomes):
+        if i % 3:
+            assert o["track"] == BIRDS[0], o
+        else:
+            assert o == "typed-error", o

@@ -145,7 +145,10 @@ def cmd_serve(args) -> int:
         mesh = make_mesh(library_parallelism=args.shard_library or None)
         lib = ShardedFingerprintLibrary(lib, mesh)
         shard_note = f" ({mesh.shape['library']}-way library-sharded)"
-    service = IdentificationService(lib, names)
+    service = IdentificationService(
+        lib, names, batch_window_s=args.batch_window,
+        max_batch=args.max_batch, n_sub_cap=args.n_sub_cap,
+        search_threshold=args.search_threshold, top_k=args.top_k)
     print(f"serving {len(names)} tracks on {args.host}:{args.port}"
           f"{shard_note}", file=sys.stderr)
     serve_forever(service, host=args.host, port=args.port)
@@ -212,6 +215,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--shard-library", type=int, default=0, metavar="N",
                    help="shard the library N-way over the device mesh "
                         "(multi-device hosts/pods; 0 = single device)")
+    s.add_argument("--batch-window", type=float, default=0.0, metavar="S",
+                   help="micro-batch concurrent identifies arriving within "
+                        "S seconds into one device dispatch (0 = off)")
+    s.add_argument("--max-batch", type=int, default=8)
+    s.add_argument("--n-sub-cap", type=int, default=0, metavar="K",
+                   help="pin batched extraction to static shapes (cap each "
+                        "clip at K subfingerprints; one jit compile for the "
+                        "server lifetime — recommended for TPU serving)")
+    s.add_argument("--search-threshold", type=int, default=4096,
+                   help="library size above which responses use two-stage "
+                        "top-k search instead of full score enumeration")
+    s.add_argument("--top-k", type=int, default=5)
     s.set_defaults(fn=cmd_serve)
 
     cl = sub.add_parser("client", help="POST a clip to a running server")

@@ -112,3 +112,27 @@ def test_identify_negative_top_k(tiny_corpus, tmp_path, capsys):
     assert main(["enroll", str(tiny_corpus), "-o", lib]) == 0
     crop = str(BIRDS_DIR / "Cropped/Equal" / "BlackBird_eql.caf")
     assert main(["identify", crop, "--library", lib, "--top-k", "-1"]) == 2
+
+
+def test_serve_flags_reach_service(tiny_corpus, tmp_path, capsys, monkeypatch):
+    """The production serving knobs flow from the CLI into the service."""
+    from lbaudiodetective_tpu import serving as serving_mod
+
+    lib = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(tiny_corpus), "-o", lib]) == 0
+    captured = {}
+
+    def fake_serve_forever(service, host="0.0.0.0", port=8080):
+        captured["svc"] = service
+        captured["host"], captured["port"] = host, port
+
+    monkeypatch.setattr(serving_mod, "serve_forever", fake_serve_forever)
+    assert main(["serve", "--library", lib, "--port", "9999",
+                 "--batch-window", "0.25", "--max-batch", "4",
+                 "--n-sub-cap", "48", "--search-threshold", "2",
+                 "--top-k", "3"]) == 0
+    svc = captured["svc"]
+    assert captured["port"] == 9999
+    assert svc.batch_window_s == 0.25 and svc.max_batch == 4
+    assert svc.n_sub_cap == 48 and svc.search_threshold == 2
+    assert svc.top_k == 3

@@ -109,7 +109,7 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
             raise UnsupportedFormatError(
                 "WAVE_FORMAT_EXTENSIBLE fmt chunk too short to carry the "
                 "SubFormat GUID")
-        if audio_format not in (1, 3):
+        if audio_format not in (1, 3, 6, 7):
             raise UnsupportedFormatError(
                 f"unsupported WAVE_FORMAT_EXTENSIBLE SubFormat {audio_format}")
 

@@ -273,3 +273,23 @@ def test_corpus_clip_via_mulaw_wav_still_identifies(tmp_path):
     # 3.16% blur suite); the pipeline is deterministic on CPU, so a strict
     # win is a stable assertion even though the margin is small (~0.02).
     assert s_right > s_wrong
+
+
+def test_wav_extensible_mulaw(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE wrapping the mu-law SubFormat decodes like
+    plain format-7 WAV."""
+    x = _sine(1024)
+    payload = encode_mulaw(x)
+    ext = struct.pack("<HHI", 22, 8, 0x4) + struct.pack("<H", 7) + b"\x00" * 14
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16 + len(ext), 0xFFFE, 1, 8000,
+                                8000, 1, 8) + ext
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        data += b"\x00"
+    body = b"WAVE" + fmt + data
+    p = str(tmp_path / "ext.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+    y, rate = read_wav(p)
+    assert rate == 8000.0
+    np.testing.assert_array_equal(y, decode_mulaw(payload))

@@ -229,9 +229,18 @@ def compare_subfingerprint_booleans(sub1: np.ndarray, sub2: np.ndarray,
     s2 = np.asarray(sub2).astype(bool).ravel()
     n = min(int(comparison_range), int(subfingerprint_length),
             s1.shape[0], s2.shape[0])
-    n -= n % 2                     # only complete bit-pairs participate
-    p1, q1 = s1[0:n:2], s1[1:n:2]
-    p2, q2 = s2[0:n:2], s2[1:n:2]
+    # Quirk Q11: an odd range rounds UP to a full pair — the reference's
+    # loop runs i < range step 2 and then reads booleans i AND i+1
+    # (LBAudioDetectiveFingerprint.m:155-169), exactly as the oracle and
+    # _pair_mask implement it.  Zero-pad if a raw buffer ends exactly at n
+    # (the reference reads its zero-initialised allocation there).
+    need = 2 * ((n + 1) // 2)
+    if s1.shape[0] < need:
+        s1 = np.pad(s1, (0, need - s1.shape[0]))
+    if s2.shape[0] < need:
+        s2 = np.pad(s2, (0, need - s2.shape[0]))
+    p1, q1 = s1[0:need:2], s1[1:need:2]
+    p2, q2 = s2[0:need:2], s2[1:need:2]
     possible = p1 | q1
     hits = possible & (p1 == p2) & (q1 == q2)
     np_possible = int(possible.sum())

@@ -106,6 +106,22 @@ class FingerprintLibrary:
 
     # -- matching -------------------------------------------------------------
 
+    def _coarse_planes(self, coarse_stride: int, chunk: int):
+        """Strided + chunk-padded library planes for the coarse pass, cached
+        per (stride, chunk).  Returns ``(lp_c, ln_c, cnt_c, chunk)`` with
+        ``chunk`` clamped so tiny libraries are not padded up."""
+        chunk = min(chunk, len(self))
+        key = (coarse_stride, chunk)
+        if key not in self._coarse_cache:
+            pad = (-len(self)) % chunk
+            self._coarse_cache[key] = (
+                jnp.pad(self.pos_words[:, ::coarse_stride],
+                        ((0, pad), (0, 0), (0, 0))),
+                jnp.pad(self.neg_words[:, ::coarse_stride],
+                        ((0, pad), (0, 0), (0, 0))),
+                jnp.pad(-(-self.counts // coarse_stride), (0, pad)))
+        return (*self._coarse_cache[key], chunk)
+
     def match(self, query: Fingerprint, comparison_range: int = 0,
               chunk: int = 65536) -> np.ndarray:
         """``[L]`` match scores of a query against every entry.
@@ -215,23 +231,16 @@ class FingerprintLibrary:
             return idx.astype(np.int64), scores[idx]
         from lbaudiodetective_tpu.ops.match_packed import two_stage_search_packed
 
+        # The exact stage re-scores `shortlist` candidates, so the two-stage
+        # path can return at most that many.
+        top_k = min(top_k, shortlist)
         s = int(self.pos_words.shape[1])
         n = min(query.num_subfingerprints, s)
         qp = np.zeros((s, query.pairs), np.uint8)
         qn = np.zeros((s, query.pairs), np.uint8)
         qp[:n] = query.pos[:n]
         qn[:n] = query.neg[:n]
-        chunk = min(chunk, l)                   # don't pad tiny libraries up
-        key = (coarse_stride, chunk)
-        if key not in self._coarse_cache:
-            pad = (-l) % chunk
-            self._coarse_cache[key] = (
-                jnp.pad(self.pos_words[:, ::coarse_stride],
-                        ((0, pad), (0, 0), (0, 0))),
-                jnp.pad(self.neg_words[:, ::coarse_stride],
-                        ((0, pad), (0, 0), (0, 0))),
-                jnp.pad(-(-self.counts // coarse_stride), (0, pad)))
-        lp_c, ln_c, cnt_c = self._coarse_cache[key]
+        lp_c, ln_c, cnt_c, chunk = self._coarse_planes(coarse_stride, chunk)
         idx, scores = two_stage_search_packed(
             pack_bits_device(jnp.asarray(qp)), pack_bits_device(jnp.asarray(qn)),
             jnp.int32(n),
@@ -266,19 +275,10 @@ class FingerprintLibrary:
             idx = np.argsort(-scores, axis=1, kind="stable")[:, :top_k]
             return (idx.astype(np.int64),
                     np.take_along_axis(scores, idx, axis=1))
+        top_k = min(top_k, l, shortlist)
         s = int(self.pos_words.shape[1])
         qp, qn, nq = stack_query_planes(queries, s)
-        chunk = min(chunk, l)
-        key = (coarse_stride, chunk)
-        if key not in self._coarse_cache:
-            pad = (-l) % chunk
-            self._coarse_cache[key] = (
-                jnp.pad(self.pos_words[:, ::coarse_stride],
-                        ((0, pad), (0, 0), (0, 0))),
-                jnp.pad(self.neg_words[:, ::coarse_stride],
-                        ((0, pad), (0, 0), (0, 0))),
-                jnp.pad(-(-self.counts // coarse_stride), (0, pad)))
-        lp_c, ln_c, cnt_c = self._coarse_cache[key]
+        lp_c, ln_c, cnt_c, chunk = self._coarse_planes(coarse_stride, chunk)
 
         def one(qpw, qnw, n, qcp, qcn, n_c):
             return two_stage_search_packed(
@@ -287,7 +287,7 @@ class FingerprintLibrary:
                 lp_c, ln_c, cnt_c,
                 self.pairs, comparison_range,
                 self.config.subfingerprint_length,
-                coarse_range, chunk, shortlist, min(top_k, l))
+                coarse_range, chunk, shortlist, top_k)
 
         idx, scores = jax.vmap(one)(
             pack_bits_device(jnp.asarray(qp)),
@@ -317,4 +317,11 @@ class FingerprintLibrary:
                 stored = bytes(z["params_hash"]).decode()
                 if stored != serialize.config_params_hash(config):
                     raise ValueError("library parameter hash mismatch")
+            else:
+                # Without a caller config, at minimum honour the stored
+                # subfingerprint length — a library built at a non-default
+                # length must not silently match over the wrong pair count.
+                stored_len = int(z["subfingerprint_length"])
+                if stored_len != FingerprintConfig().subfingerprint_length:
+                    config = FingerprintConfig(subfingerprint_length=stored_len)
             return cls(z["pos"], z["neg"], z["counts"], int(z["pairs"]), config)

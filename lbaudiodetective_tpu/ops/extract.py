@@ -162,14 +162,17 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
                 and multi_step):
             # Fully fused: the kernel emits rank-ordered sign classes
             # directly (coefficients never leave VMEM); element-exact vs the
-            # two-stage path (tests/test_fused_rows.py).  Gated to
-            # multi-step-per-clip grids: with one grid step per clip (proc
-            # hop, short clips) the in-kernel select serialises against the
-            # same step's matmuls with nothing to overlap it — measured
-            # 15.3k vs 17.4k clips/s proc — so single-step grids use the
-            # standalone select kernel via subfingerprints_from_rows.
+            # two-stage path (tests/test_fused_rows.py).  pipe_select lags
+            # the in-kernel select one grid step behind the matmuls so the
+            # VPU bitonic overlaps the MXU stage-2 (~88% measured overlap,
+            # scripts/probe_mxu_vpu_overlap.py).  Gated to multi-step-per-
+            # clip grids: with one grid step per clip (proc hop, short
+            # clips) there is nothing to lag behind — measured 15.3k vs
+            # 17.4k clips/s proc with the serial in-kernel select — so
+            # single-step grids use the standalone select kernel via
+            # subfingerprints_from_rows.
             cls = fused_band_rows_v3(batched, config, n_rows, fuse_haar=True,
-                                     fuse_select=True)       # [B, n_tiles, 128]
+                                     pipe_select=True)       # [B, n_tiles, 128]
             topcls = cls[..., :k] if audio.ndim == 2 else cls[0][..., :k]
             pos = (topcls == 1).astype(jnp.uint8)
             neg = (topcls == 2).astype(jnp.uint8)

@@ -299,10 +299,25 @@ def _rows_kernel_v3(*refs,
                     proj_concat: bool = False, conj_pairs: bool = False,
                     two_pass: bool = False, fuse_select: bool = False,
                     dense_pairs: bool = False, aux2: bool = False,
-                    cat_gk: bool = False, vmaj: bool = False):
+                    cat_gk: bool = False, vmaj: bool = False,
+                    pipe_select: bool = False):
     blk_refs = refs[:n_blk]
-    (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
-     perm_ref, hcols_ref, out_ref) = refs[n_blk:]
+    if pipe_select:
+        (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
+         perm_ref, hcols_ref, out_ref, tail_ref, sel_scr) = refs[n_blk:]
+        # Software-pipelined select (scripts/probe_mxu_vpu_overlap.py: MXU
+        # matmuls and independent VPU chains overlap ~88% when traced in the
+        # same straight-line body): select the PREVIOUS grid step's Haar
+        # frames from scratch while this step's matmuls drain.  The lagged
+        # out_specs index map routes this write to block t-1; the t=0 write
+        # lands in block 0 and is overwritten by t=1's before the revolving
+        # window flushes (same block index).
+        from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
+
+        out_ref[0] = _select_body(sel_scr[:], tps, band_major=True)
+    else:
+        (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
+         perm_ref, hcols_ref, out_ref) = refs[n_blk:]
     hi = precision
     full = jnp.concatenate([b[0, 0] for b in blk_refs], axis=0)  # [K*u, 128]
     qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
@@ -600,6 +615,17 @@ def _rows_kernel_v3(*refs,
         else:
             out = jnp.dot(out, hcols_ref[:], precision=hi,
                           preferred_element_type=jnp.float32)
+    if pipe_select:
+        # Stash this step's frames for the NEXT step's (overlapped) select;
+        # the tail output carries each batch item's final step (revolving
+        # same-block writes: the last one survives) so the wrapper can select
+        # it outside the kernel — the lagged index map never emits it.
+        t_frames = jnp.concatenate(
+            [jnp.transpose(out[k * rows:(k + 1) * rows, :], (1, 0))
+             for k in range(tps)], axis=0)              # [tps*32, 128]
+        sel_scr[:] = t_frames
+        tail_ref[0] = t_frames
+        return
     if fuse_select:
         # In-kernel top-k sign selection: transpose each frame's [128, 32]
         # Haar tile to the select layout ([32 bands, 128 rows] = band-major,
@@ -624,7 +650,7 @@ def v3_tiles_per_step(n_tiles: int) -> int:
                                    "batched_rolls", "aux_bf16x3", "tps_override",
                                    "proj_concat", "conj_pairs", "fuse_select",
                                    "dense_pairs", "aux_two_pass", "cat_gk",
-                                   "vmaj", "cost_hint"))
+                                   "vmaj", "cost_hint", "pipe_select"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
@@ -638,7 +664,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        aux_two_pass: bool = False,
                        cat_gk: bool = False,
                        vmaj: bool = False,
-                       cost_hint: bool = False) -> jnp.ndarray:
+                       cost_hint: bool = False,
+                       pipe_select: bool = False) -> jnp.ndarray:
     # dense_pairs is a MEASURED NEGATIVE on v5e (scripts/ab_dense.py): the
     # 22% stage-2 MAC cut (2048 -> 1600 lanes) times out at 26.0 ms vs 24.9
     # ms per 128 parity clips because N=192 matmuls do not run
@@ -788,7 +815,34 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                             lambda b, t, k=k: (b, t + k, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    if fuse_select:
+    if pipe_select and n_steps < 2:
+        # Nothing to lag behind: a single grid step per clip degenerates to
+        # the serial in-kernel select (measured slower than the standalone
+        # select kernel for that shape) — use the plain fused path instead.
+        pipe_select = False
+        fuse_select = True
+    scratch_shapes = None
+    if pipe_select:
+        if not fuse_haar or rpf != 128 or bands != 32:
+            raise ValueError("pipe_select requires fuse_haar with the "
+                             "128-row / 32-band frame geometry")
+        out_specs = [
+            # Lagged: step t emits the select of step t-1's frames; the t=0
+            # write lands in block 0 and is overwritten by t=1 before the
+            # revolving window flushes (same block index).
+            pl.BlockSpec((1, tps, _LANE),
+                         lambda b, t: (b, jnp.maximum(t - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            # Final-step frames, one block per batch item (last write wins).
+            pl.BlockSpec((1, tps * 32, _LANE), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((batch, n_tiles, _LANE), jnp.int32),
+            jax.ShapeDtypeStruct((batch, tps * 32, _LANE), jnp.float32),
+        ]
+        scratch_shapes = [pltpu.VMEM((tps * 32, _LANE), jnp.float32)]
+    elif fuse_select:
         if not fuse_haar or rpf != 128 or bands != 32:
             raise ValueError("fuse_select requires fuse_haar with the "
                              "128-row / 32-band frame geometry")
@@ -804,6 +858,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         in_specs=[blk_spec(k) for k in range(n_blk)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes or (),
     )
     kernel = partial(_rows_kernel_v3, span_rows=span_rows, window=window,
                      rows=rpf, hop=hop, adv_rows=adv_rows,
@@ -815,21 +870,22 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      two_pass=two_pass, fuse_select=fuse_select,
                      dense_pairs=dense,
                      aux2=(two_pass or aux_two_pass) and not interpret,
-                     cat_gk=cat, vmaj=vmaj_on)
+                     cat_gk=cat, vmaj=vmaj_on, pipe_select=pipe_select)
     cost = None
     if cost_hint:
         # Scheduler hint (pl.CostEstimate): stage-2 dominates at ~524K MACs
         # per window x 3 bf16 passes; bytes = the double-read audio blocks +
         # the weight tensors once per step + the output.
         passes = 3 if bf16x3 else 1
+        shp = out_shape[0].shape if isinstance(out_shape, list) else out_shape.shape
         cost = pl.CostEstimate(
             flops=2 * 524_000 * n_rows * batch * passes,
             bytes_accessed=(audio3d.size * 4 * n_blk
                             + batch * n_steps * (c16.size + s16.size
                                                  + t2a.size + t2b.size) * 4
-                            + int(np.prod(out_shape.shape)) * 4),
+                            + int(np.prod(shp)) * 4),
             transcendentals=0)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -841,3 +897,34 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
       jnp.asarray(perm), jnp.asarray(h_cols_t))
+    if not pipe_select:
+        return out
+    # Select the final step's frames (never emitted by the lagged map) in a
+    # small standalone kernel — 1/n_steps of the select work; the rest ran
+    # overlapped with the matmuls — and stitch it over the unwritten last
+    # tile block.
+    cls, tail = out
+    from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
+
+    # Batch several clips' final steps per grid step: fewer, fatter steps
+    # amortise the per-step pipeline overhead (frames stay in order — the
+    # [bpb, tps*32, 128] block reshapes to bpb*tps consecutive frames).
+    bpb = next(b for b in (4, 2, 1) if batch % b == 0)
+
+    def _tail_kernel(x_ref, o_ref):
+        x = x_ref[:].reshape(bpb * tps * 32, _LANE)
+        o_ref[:] = _select_body(x, bpb * tps, band_major=True).reshape(
+            bpb, tps, _LANE)
+
+    tail_cls = pl.pallas_call(
+        _tail_kernel,
+        grid=(batch // bpb,),
+        in_specs=[pl.BlockSpec((bpb, tps * 32, _LANE), lambda b: (b, 0, 0))],
+        out_specs=pl.BlockSpec((bpb, tps, _LANE), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((batch, tps, _LANE), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(tail)
+    return jax.lax.dynamic_update_slice(cls, tail_cls, (0, n_tiles - tps, 0))

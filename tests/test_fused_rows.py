@@ -107,6 +107,38 @@ def test_v3_fuse_select_matches_two_stage():
         audio, cfg, n_rows, interpret=True, fuse_haar=True,
         fuse_select=True)).reshape(-1, 128)
     np.testing.assert_array_equal(cls_fused, cls_two)
+    # pipe_select (the shipped multi-step TPU path): the one-step-lagged
+    # select + revolving-block overwrite + outside tail stitch must be
+    # element-exact too.  16 tiles at tps=8 -> 2 grid steps per clip, 2
+    # clips: exercises the lag, the t=0 overwrite, the batch boundary, and
+    # the stitched final block.
+    cls_pipe = np.asarray(fused_band_rows_v3(
+        audio, cfg, n_rows, interpret=True, fuse_haar=True,
+        pipe_select=True)).reshape(-1, 128)
+    np.testing.assert_array_equal(cls_pipe, cls_two)
+
+
+def test_v3_pipe_select_multi_step():
+    """pipe_select across >2 grid steps and an odd batch: every interior
+    block comes from the lagged path, only the last from the tail stitch."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+    from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
+
+    cfg = FingerprintConfig()
+    n_rows = 32 * 128                                    # 4 grid steps (tps=8)
+    t_pad = required_padded_length(cfg, n_rows)
+    rng = np.random.default_rng(53)
+    audio = jnp.asarray((np.cumsum(rng.standard_normal((3, t_pad)), axis=1)
+                         * 0.01).astype(np.float32))
+    coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                fuse_haar=True)
+    cls_two = np.asarray(select_sign_classes(
+        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)), f_blk=8,
+        interpret=True))
+    cls_pipe = np.asarray(fused_band_rows_v3(
+        audio, cfg, n_rows, interpret=True, fuse_haar=True,
+        pipe_select=True)).reshape(-1, 128)
+    np.testing.assert_array_equal(cls_pipe, cls_two)
 
 
 @pytest.mark.parametrize("stride_cfg,n_rows", [

@@ -156,7 +156,8 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
         batched = audio if audio.ndim == 2 else audio[None]
         k = config.num_wavelet_pairs
         n_tiles = n_rows // config.rows_per_frame
-        multi_step = n_tiles // v3_tiles_per_step(n_tiles) > 1
+        multi_step = (n_tiles // v3_tiles_per_step(n_tiles) > 1
+                      or batched.shape[0] > 1)
         if (impl == "fused_v3" and config.rows_per_frame == 128
                 and config.pitch_step_count == 32 and k <= 128
                 and multi_step):
@@ -165,12 +166,11 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
             # two-stage path (tests/test_fused_rows.py).  pipe_select lags
             # the in-kernel select one grid step behind the matmuls so the
             # VPU bitonic overlaps the MXU stage-2 (~88% measured overlap,
-            # scripts/probe_mxu_vpu_overlap.py).  Gated to multi-step-per-
-            # clip grids: with one grid step per clip (proc hop, short
-            # clips) there is nothing to lag behind — measured 15.3k vs
-            # 17.4k clips/s proc with the serial in-kernel select — so
-            # single-step grids use the standalone select kernel via
-            # subfingerprints_from_rows.
+            # scripts/probe_mxu_vpu_overlap.py); single-step-per-clip grids
+            # (proc hop, short clips) lag along the batch axis instead.
+            # Only a 1-clip single-step dispatch has nothing to lag behind
+            # — the wrapper falls back to the standalone select there, as
+            # does this gate (subfingerprints_from_rows below).
             cls = fused_band_rows_v3(batched, config, n_rows, fuse_haar=True,
                                      pipe_select=True)       # [B, n_tiles, 128]
             topcls = cls[..., :k] if audio.ndim == 2 else cls[0][..., :k]

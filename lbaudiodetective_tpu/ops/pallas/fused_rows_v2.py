@@ -815,31 +815,52 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                             lambda b, t, k=k: (b, t + k, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    if pipe_select and n_steps < 2:
-        # Nothing to lag behind: a single grid step per clip degenerates to
+    if pipe_select and n_steps < 2 and batch < 2:
+        # Nothing to lag behind: a single grid step total degenerates to
         # the serial in-kernel select (measured slower than the standalone
         # select kernel for that shape) — use the plain fused path instead.
         pipe_select = False
         fuse_select = True
+    # Lag axis: the innermost grid axis when clips span several steps;
+    # otherwise lag along the batch axis (proc hop / short clips: one step
+    # per clip, so consecutive grid steps ARE consecutive clips).  The
+    # batch lag needs sequential batch semantics ("arbitrary") so the t=0
+    # garbage write is overwritten by its successor before the block
+    # flushes.
+    lag_t = pipe_select and n_steps >= 2
     scratch_shapes = None
     if pipe_select:
         if not fuse_haar or rpf != 128 or bands != 32:
             raise ValueError("pipe_select requires fuse_haar with the "
                              "128-row / 32-band frame geometry")
+        if lag_t:
+            cls_spec = pl.BlockSpec((1, tps, _LANE),
+                                    lambda b, t: (b, jnp.maximum(t - 1, 0), 0),
+                                    memory_space=pltpu.VMEM)
+            tail_spec = pl.BlockSpec((1, tps * 32, _LANE),
+                                     lambda b, t: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            tail_shape = (batch, tps * 32, _LANE)
+        else:
+            cls_spec = pl.BlockSpec((1, tps, _LANE),
+                                    lambda b, t: (jnp.maximum(b - 1, 0), t, 0),
+                                    memory_space=pltpu.VMEM)
+            tail_spec = pl.BlockSpec((1, tps * 32, _LANE),
+                                     lambda b, t: (0, 0, 0),
+                                     memory_space=pltpu.VMEM)
+            tail_shape = (1, tps * 32, _LANE)
         out_specs = [
-            # Lagged: step t emits the select of step t-1's frames; the t=0
-            # write lands in block 0 and is overwritten by t=1 before the
-            # revolving window flushes (same block index).
-            pl.BlockSpec((1, tps, _LANE),
-                         lambda b, t: (b, jnp.maximum(t - 1, 0), 0),
-                         memory_space=pltpu.VMEM),
-            # Final-step frames, one block per batch item (last write wins).
-            pl.BlockSpec((1, tps * 32, _LANE), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # Lagged: each step emits the select of the PREVIOUS step's
+            # frames; the first write lands in block 0 and is overwritten
+            # by its successor before the revolving window flushes (same
+            # block index).
+            cls_spec,
+            # Final-step frames (last write wins).
+            tail_spec,
         ]
         out_shape = [
             jax.ShapeDtypeStruct((batch, n_tiles, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct((batch, tps * 32, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct(tail_shape, jnp.float32),
         ]
         scratch_shapes = [pltpu.VMEM((tps * 32, _LANE), jnp.float32)]
     elif fuse_select:
@@ -893,23 +914,25 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=(("parallel", "arbitrary") if not pipe_select
+                                 or lag_t else ("arbitrary", "arbitrary"))),
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
       jnp.asarray(perm), jnp.asarray(h_cols_t))
     if not pipe_select:
         return out
     # Select the final step's frames (never emitted by the lagged map) in a
-    # small standalone kernel — 1/n_steps of the select work; the rest ran
-    # overlapped with the matmuls — and stitch it over the unwritten last
-    # tile block.
+    # small standalone kernel — 1/total-steps of the select work; the rest
+    # ran overlapped with the matmuls — and stitch it over the unwritten
+    # last block.
     cls, tail = out
     from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
 
     # Batch several clips' final steps per grid step: fewer, fatter steps
     # amortise the per-step pipeline overhead (frames stay in order — the
     # [bpb, tps*32, 128] block reshapes to bpb*tps consecutive frames).
-    bpb = next(b for b in (4, 2, 1) if batch % b == 0)
+    n_tail = tail.shape[0]
+    bpb = next(b for b in (4, 2, 1) if n_tail % b == 0)
 
     def _tail_kernel(x_ref, o_ref):
         x = x_ref[:].reshape(bpb * tps * 32, _LANE)
@@ -918,13 +941,17 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
 
     tail_cls = pl.pallas_call(
         _tail_kernel,
-        grid=(batch // bpb,),
+        grid=(n_tail // bpb,),
         in_specs=[pl.BlockSpec((bpb, tps * 32, _LANE), lambda b: (b, 0, 0))],
         out_specs=pl.BlockSpec((bpb, tps, _LANE), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((batch, tps, _LANE), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_tail, tps, _LANE), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tail)
-    return jax.lax.dynamic_update_slice(cls, tail_cls, (0, n_tiles - tps, 0))
+    if lag_t:
+        return jax.lax.dynamic_update_slice(cls, tail_cls,
+                                            (0, n_tiles - tps, 0))
+    # Batch lag: the unwritten block is the LAST batch item's (single) step.
+    return jax.lax.dynamic_update_slice(cls, tail_cls, (batch - 1, 0, 0))

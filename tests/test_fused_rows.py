@@ -118,6 +118,30 @@ def test_v3_fuse_select_matches_two_stage():
     np.testing.assert_array_equal(cls_pipe, cls_two)
 
 
+def test_v3_pipe_select_batch_lag():
+    """Single-step-per-clip grids (proc hop) lag the select along the BATCH
+    axis: clip b's select runs under clip b+1's matmuls.  Element-exact vs
+    the standalone select kernel, including the last clip's tail stitch."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+    from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
+
+    cfg = FingerprintConfig(hop_domain="proc")
+    n_rows = 8 * 128                                     # 1 grid step (tps=8)
+    t_pad = required_padded_length(cfg, n_rows)
+    rng = np.random.default_rng(54)
+    audio = jnp.asarray((np.cumsum(rng.standard_normal((5, t_pad)), axis=1)
+                         * 0.01).astype(np.float32))
+    coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                fuse_haar=True)
+    cls_two = np.asarray(select_sign_classes(
+        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)), f_blk=8,
+        interpret=True))
+    cls_pipe = np.asarray(fused_band_rows_v3(
+        audio, cfg, n_rows, interpret=True, fuse_haar=True,
+        pipe_select=True)).reshape(-1, 128)
+    np.testing.assert_array_equal(cls_pipe, cls_two)
+
+
 def test_v3_pipe_select_multi_step():
     """pipe_select across >2 grid steps and an odd batch: every interior
     block comes from the lagged path, only the last from the tail stitch."""

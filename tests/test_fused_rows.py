@@ -142,6 +142,33 @@ def test_v3_pipe_select_batch_lag():
     np.testing.assert_array_equal(cls_pipe, cls_two)
 
 
+@pytest.mark.parametrize("n_tiles,b", [
+    (4, 3),     # tps=4, n_steps=1 -> batch lag at tps=4
+    (12, 2),    # tps=4, n_steps=3 -> time lag at tps=4
+])
+def test_v3_pipe_select_tps4(n_tiles, b):
+    """pipe_select at the tps=4 geometry (tile counts not divisible by 8):
+    both lag axes must stay element-exact."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+    from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
+
+    cfg = FingerprintConfig()
+    n_rows = n_tiles * 128
+    t_pad = required_padded_length(cfg, n_rows)
+    rng = np.random.default_rng(55 + n_tiles)
+    audio = jnp.asarray((np.cumsum(rng.standard_normal((b, t_pad)), axis=1)
+                         * 0.01).astype(np.float32))
+    coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                fuse_haar=True)
+    cls_two = np.asarray(select_sign_classes(
+        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)), f_blk=4,
+        interpret=True))
+    cls_pipe = np.asarray(fused_band_rows_v3(
+        audio, cfg, n_rows, interpret=True, fuse_haar=True,
+        pipe_select=True)).reshape(-1, 128)
+    np.testing.assert_array_equal(cls_pipe, cls_two)
+
+
 def test_v3_pipe_select_multi_step():
     """pipe_select across >2 grid steps and an odd batch: every interior
     block comes from the lagged path, only the last from the tail stitch."""

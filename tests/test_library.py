@@ -41,6 +41,29 @@ def test_library_roundtrip(tmp_path, corpus_library):
         FingerprintLibrary.load(p, FingerprintConfig(analysis_stride=32))
 
 
+def test_library_load_honours_stored_length(tmp_path):
+    """A config-less load of a library built at a non-default
+    subfingerprint length must adopt the stored length instead of silently
+    matching over the default pair count."""
+    from lbaudiodetective_tpu.models.fingerprint import FingerprintBuilder
+
+    cfg = FingerprintConfig(subfingerprint_length=128)
+    rng = np.random.default_rng(3)
+    fps = []
+    for _ in range(4):
+        b = FingerprintBuilder(cfg.subfingerprint_length)
+        for _ in range(6):
+            b.add_subfingerprint(rng.integers(0, 2, 128).astype(bool))
+        fps.append(b.freeze())
+    lib = FingerprintLibrary.from_fingerprints(fps, cfg)
+    p = str(tmp_path / "short.npz")
+    lib.save(p)
+    loaded = FingerprintLibrary.load(p)
+    assert loaded.config.subfingerprint_length == 128
+    np.testing.assert_allclose(loaded.match(fps[1]), lib.match(fps[1]),
+                               atol=1e-7)
+
+
 def test_library_extend_matches_fresh(corpus_library):
     """extend() must equal a library built from scratch with the same
     fingerprints (packed entries, counts, pairs, scores)."""

@@ -458,27 +458,41 @@ def main():
         details["stage_breakdown_error"] = str(e)[:200]
 
     batch_p = 32 if quick else 1024
-    with timers.stage("extract_proc"):
-        clips_proc, dt_p = bench_extract(proc_cfg, batch=batch_p)
-    details["extract_proc_clips_per_sec"] = clips_proc
-    details["extract_proc_batch"] = batch_p
-    details["extract_proc_step_seconds"] = dt_p
+    try:  # keep the primary (parity) metric robust to secondary failures
+        with timers.stage("extract_proc"):
+            clips_proc, dt_p = bench_extract(proc_cfg, batch=batch_p)
+        details["extract_proc_clips_per_sec"] = clips_proc
+        details["extract_proc_batch"] = batch_p
+        details["extract_proc_step_seconds"] = dt_p
+    except Exception as e:
+        details["extract_proc_error"] = str(e)[:200]
 
     # Matchers: pinned config, THREE consecutive runs recorded (the target
     # must hold across runs, not on a lucky one).
     lib = 2048 if quick else 16384
     runs, runs_sub, runs_packed = [], [], []
-    run_match = make_bench_match(parity_cfg, library_size=lib)
+    try:
+        run_match = make_bench_match(parity_cfg, library_size=lib)
+    except Exception as e:
+        run_match = None
+        details["match_matmul_error"] = str(e)[:200]
     try:
         run_packed = make_bench_match_packed(parity_cfg, library_size=lib)
     except Exception as e:
         run_packed = None
         details["match_packed_error"] = str(e)[:200]
     for _ in range(1 if quick else 3):
-        with timers.stage("match_matmul"):
-            pair_cps, sub_cps, dt_m = run_match()
-        runs.append(pair_cps)
-        runs_sub.append(sub_cps)
+        if run_match is None and run_packed is None:
+            break
+        if run_match is not None:
+            try:
+                with timers.stage("match_matmul"):
+                    pair_cps, sub_cps, dt_m = run_match()
+                runs.append(pair_cps)
+                runs_sub.append(sub_cps)
+            except Exception as e:
+                details["match_matmul_error"] = str(e)[:200]
+                run_match = None
         if run_packed is not None:
             try:
                 with timers.stage("match_packed"):
@@ -486,51 +500,65 @@ def main():
                 runs_packed.append(packed_cps)
             except Exception as e:
                 details["match_packed_error"] = str(e)[:200]
-    details["match_pair_compares_per_sec"] = min(runs)
-    details["match_pair_compares_runs"] = runs
-    details["match_subfingerprint_compares_per_sec"] = min(runs_sub)
-    details["match_library_size"] = lib
+    if runs:
+        details["match_pair_compares_per_sec"] = min(runs)
+        details["match_pair_compares_runs"] = runs
+        details["match_subfingerprint_compares_per_sec"] = min(runs_sub)
+        details["match_library_size"] = lib
     if runs_packed:
         details["match_packed_pair_compares_per_sec"] = min(runs_packed)
         details["match_packed_pair_compares_runs"] = runs_packed
 
     if "--packed-64k" in sys.argv:
-        with timers.stage("packed_64k"):
-            details["match_packed_64k_pair_compares_per_sec"] = \
-                bench_packed_64k(parity_cfg)
+        try:
+            with timers.stage("packed_64k"):
+                details["match_packed_64k_pair_compares_per_sec"] = \
+                    bench_packed_64k(parity_cfg)
+        except Exception as e:
+            details["match_packed_64k_error"] = str(e)[:200]
     if "--million-track" in sys.argv:
-        with timers.stage("million_track"):
-            q_dt, l = bench_million_track(parity_cfg)
-        details["million_track_query_seconds"] = q_dt
-        details["million_track_library_size"] = l
-        with timers.stage("million_track_search"):
-            s_dt, _ = bench_million_track_search(parity_cfg)
-        details["million_track_search_seconds"] = s_dt
-        details["million_track_search_params"] = {
-            "shortlist": 1024, "coarse_range": 64, "coarse_stride": 4}
+        try:
+            with timers.stage("million_track"):
+                q_dt, l = bench_million_track(parity_cfg)
+            details["million_track_query_seconds"] = q_dt
+            details["million_track_library_size"] = l
+            with timers.stage("million_track_search"):
+                s_dt, _ = bench_million_track_search(parity_cfg)
+            details["million_track_search_seconds"] = s_dt
+            details["million_track_search_params"] = {
+                "shortlist": 1024, "coarse_range": 64, "coarse_stride": 4}
+        except Exception as e:
+            details["million_track_error"] = str(e)[:200]
     if "--serving" in sys.argv:
-        with timers.stage("serving"):
-            rps, n_req, right, disp = bench_serving(parity_cfg)
-        details["serving_requests_per_sec"] = rps
-        details["serving_requests"] = n_req
-        details["serving_right_track"] = right
-        details["serving_extract_dispatches"] = disp
+        try:
+            with timers.stage("serving"):
+                rps, n_req, right, disp = bench_serving(parity_cfg)
+            details["serving_requests_per_sec"] = rps
+            details["serving_requests"] = n_req
+            details["serving_right_track"] = right
+            details["serving_extract_dispatches"] = disp
+        except Exception as e:
+            details["serving_error"] = str(e)[:200]
     if "--dedup" in sys.argv:
-        runs_dd = []
-        run_dd = make_bench_dedup_block(parity_cfg)
-        for _ in range(3):
-            with timers.stage("dedup_block"):
-                dd_cps, _ = run_dd()
-            runs_dd.append(dd_cps)
-        rate = min(runs_dd)
-        details["dedup_packed_block_pair_compares_per_sec"] = rate
-        details["dedup_packed_block_runs"] = runs_dd
-        # 1M-track all-pairs dedup over an n-device pod: every device performs
-        # L^2/n full offset-slide pair compares across the ring (ICI traffic
-        # per step is (L/n) * 3.2 KB packed — negligible vs compute).
-        l = 1_048_576
-        details["dedup_1m_pod_extrapolation"] = {
-            str(n): l * l / n / rate for n in (64, 256)}
+        try:
+            runs_dd = []
+            run_dd = make_bench_dedup_block(parity_cfg)
+            for _ in range(3):
+                with timers.stage("dedup_block"):
+                    dd_cps, _ = run_dd()
+                runs_dd.append(dd_cps)
+            rate = min(runs_dd)
+            details["dedup_packed_block_pair_compares_per_sec"] = rate
+            details["dedup_packed_block_runs"] = runs_dd
+            # 1M-track all-pairs dedup over an n-device pod: every device
+            # performs L^2/n full offset-slide pair compares across the ring
+            # (ICI traffic per step is (L/n) * 3.2 KB packed — negligible vs
+            # compute).
+            l = 1_048_576
+            details["dedup_1m_pod_extrapolation"] = {
+                str(n): l * l / n / rate for n in (64, 256)}
+        except Exception as e:
+            details["dedup_error"] = str(e)[:200]
 
     try:
         n_streams = 64 if quick else 256

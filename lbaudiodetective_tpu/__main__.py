@@ -8,6 +8,7 @@ exposes that workflow on top of the library APIs:
   compare <clip1> <clip2>                 print the match score
   enroll <dir> -o lib.npz                 build a library from a directory
   identify <clip> --library lib.npz       best match + per-track scores
+  dedup --library lib.npz                 all-pairs near-duplicate scan
   serve --library lib.npz --names ...     run the HTTP identification edge
   client <clip> --url http://host:8414    POST a clip to a running server
 
@@ -131,6 +132,55 @@ def cmd_identify(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """All-pairs near-duplicate scan of an enrolled library.
+
+    Runs the packed ring dedup (parallel.sharded_packed.ring_dedup_topk_packed
+    — BASELINE config 5's candidate exchange) over a ``--devices``-way library
+    ring (1 device = plain all-pairs) and prints each track's top-k candidate
+    matches, optionally filtered by ``--threshold``.
+    """
+    import numpy as np
+
+    from lbaudiodetective_tpu.parallel.mesh import make_mesh
+    from lbaudiodetective_tpu.parallel.sharded_packed import (
+        ring_dedup_topk_packed)
+
+    if args.top_k < 1:
+        print("--top-k must be >= 1", file=sys.stderr)
+        return 2
+    lib, names = _load_library(args.library)
+    l_real = len(lib)
+    if l_real < 2:
+        print("library has fewer than 2 tracks — nothing to dedup",
+              file=sys.stderr)
+        return 2
+    mesh = make_mesh(n_devices=args.devices,
+                     library_parallelism=args.devices)
+    ring = mesh.shape["library"]
+    pad = (-l_real) % ring
+    pos, neg, counts = (np.asarray(lib.pos_words), np.asarray(lib.neg_words),
+                        np.asarray(lib.counts))
+    if pad:
+        pos = np.pad(pos, ((0, pad), (0, 0), (0, 0)))
+        neg = np.pad(neg, ((0, pad), (0, 0), (0, 0)))
+        counts = np.pad(counts, (0, pad))
+    k = min(args.top_k, l_real - 1)
+    scores, idx = ring_dedup_topk_packed(
+        pos, neg, counts, lib.pairs, mesh, k=k,
+        subfingerprint_length=lib.config.subfingerprint_length)
+    scores, idx = np.asarray(scores)[:l_real], np.asarray(idx)[:l_real]
+    out = []
+    for t in range(l_real):
+        cands = [{"track": names[int(j)], "score": round(float(s), 4)}
+                 for s, j in zip(scores[t], idx[t])
+                 if 0 <= int(j) < l_real and float(s) >= args.threshold]
+        if cands:
+            out.append({"track": names[t], "candidates": cands})
+    print(json.dumps(out, indent=None if args.compact else 2))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from lbaudiodetective_tpu.serving import (IdentificationService,
                                               serve_forever)
@@ -207,6 +257,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="answer with the exact top-K via two-stage "
                         "coarse->exact search (large libraries)")
     i.set_defaults(fn=cmd_identify)
+
+    d = sub.add_parser("dedup", help="all-pairs near-duplicate scan of a "
+                                     "library (packed ring dedup)")
+    d.add_argument("--library", required=True)
+    d.add_argument("--top-k", type=int, default=3, metavar="K",
+                   help="candidates reported per track (default 3)")
+    d.add_argument("--threshold", type=float, default=0.0,
+                   help="only report candidate pairs scoring >= this")
+    d.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="ring size: shard the library over N devices")
+    d.add_argument("--compact", action="store_true",
+                   help="single-line JSON output")
+    d.set_defaults(fn=cmd_dedup)
 
     s = sub.add_parser("serve", help="run the HTTP identification server")
     s.add_argument("--library", required=True)

@@ -136,3 +136,35 @@ def test_serve_flags_reach_service(tiny_corpus, tmp_path, capsys, monkeypatch):
     assert svc.batch_window_s == 0.25 and svc.max_batch == 4
     assert svc.n_sub_cap == 48 and svc.search_threshold == 2
     assert svc.top_k == 3
+
+
+def test_dedup_finds_duplicates(tmp_path, capsys):
+    """`dedup` reports the near-duplicate pair (archive clip vs its exact
+    crop) in both directions and nothing for the unrelated track; the
+    2-device ring path pads 3 tracks to 4 and trims the padding."""
+    d = tmp_path / "clips"
+    d.mkdir()
+    shutil.copy(BIRDS_DIR / "Archive" / "BlackBird.caf", d / "BlackBird.caf")
+    shutil.copy(BIRDS_DIR / "Cropped/Equal" / "BlackBird_eql.caf",
+                d / "BlackBird_eql.caf")
+    shutil.copy(BIRDS_DIR / "Archive" / "Wren.caf", d / "Wren.caf")
+    lib = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(d), "-o", lib]) == 0
+    capsys.readouterr()
+    for devices in ("1", "2"):
+        assert main(["dedup", "--library", lib, "--threshold", "0.8",
+                     "--devices", devices]) == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        got = {e["track"]: {c["track"] for c in e["candidates"]} for e in out}
+        assert got == {"BlackBird": {"BlackBird_eql"},
+                       "BlackBird_eql": {"BlackBird"}}
+
+
+def test_dedup_bad_args(tmp_path, capsys):
+    d = tmp_path / "one"
+    d.mkdir()
+    shutil.copy(BIRDS_DIR / "Archive" / "Wren.caf", d / "Wren.caf")
+    lib = str(tmp_path / "one.npz")
+    assert main(["enroll", str(d), "-o", lib]) == 0
+    assert main(["dedup", "--library", lib]) == 2          # < 2 tracks
+    assert main(["dedup", "--library", lib, "--top-k", "0"]) == 2

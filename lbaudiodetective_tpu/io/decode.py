@@ -85,3 +85,13 @@ def decode_audio_file(path: str, processing_rate: float = 5512.0) -> DecodedAudi
         file_frames=file_frames,
         file_rate=file_rate,
     )
+
+
+def decode_audio_file_raw(path: str) -> tuple[np.ndarray, float]:
+    """Decode WITHOUT resampling: (native-rate mono float32, file rate).
+
+    The MAA (essay §3.2.1.1) operates at the file's native rate — the
+    essay introduces downsampling only with the AFA; this is the entry
+    point for consumers that want the un-resampled signal.
+    """
+    return _read_file(path)

@@ -48,6 +48,13 @@ def cmd_fingerprint(args) -> int:
 
 
 def cmd_compare(args) -> int:
+    if args.algorithm == "maa":
+        # The essay's rejected predecessor (models/maa.py): reports a match
+        # COUNT, not a score in [0,1] (essay §4.1.1).
+        from lbaudiodetective_tpu.models.maa import maa_compare_audio_files
+
+        print(maa_compare_audio_files(args.clip1, args.clip2))
+        return 0
     det = _detective()
     score = det.compare_audio_files(args.clip1, args.clip2)
     print(f"{score:.4f}")
@@ -240,6 +247,10 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compare", help="match score between two clips")
     c.add_argument("clip1")
     c.add_argument("clip2")
+    c.add_argument("--algorithm", choices=("afa", "maa"), default="afa",
+                   help="afa = the shipped fingerprinting algorithm; "
+                        "maa = the essay's rejected predecessor "
+                        "(prints a match count, not a score)")
     c.set_defaults(fn=cmd_compare)
 
     e = sub.add_parser("enroll", help="build a library from a directory")

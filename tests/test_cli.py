@@ -168,3 +168,11 @@ def test_dedup_bad_args(tmp_path, capsys):
     assert main(["enroll", str(d), "-o", lib]) == 0
     assert main(["dedup", "--library", lib]) == 2          # < 2 tracks
     assert main(["dedup", "--library", lib, "--top-k", "0"]) == 2
+
+
+def test_compare_maa(capsys):
+    orig = str(BIRDS_DIR / "Archive" / "Wren.caf")
+    crop = str(BIRDS_DIR / "Cropped/Equal" / "Wren_eql.caf")
+    assert main(["compare", orig, crop, "--algorithm", "maa"]) == 0
+    count = int(capsys.readouterr().out.strip())
+    assert count > 300          # bit-exact prefix crop: windows align

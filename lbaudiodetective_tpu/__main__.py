@@ -156,6 +156,9 @@ def cmd_dedup(args) -> int:
     if args.top_k < 1:
         print("--top-k must be >= 1", file=sys.stderr)
         return 2
+    if args.devices < 1:
+        print("--devices must be >= 1", file=sys.stderr)
+        return 2
     lib, names = _load_library(args.library)
     l_real = len(lib)
     if l_real < 2:
@@ -172,16 +175,20 @@ def cmd_dedup(args) -> int:
         pos = np.pad(pos, ((0, pad), (0, 0), (0, 0)))
         neg = np.pad(neg, ((0, pad), (0, 0), (0, 0)))
         counts = np.pad(counts, (0, pad))
+    # Pad entries rank at score 0.0 inside the device top-k; request `pad`
+    # extra slots so they can never displace a real candidate, then filter
+    # them from the output.
     k = min(args.top_k, l_real - 1)
+    k_dev = min(k + pad, l_real + pad - 1)
     scores, idx = ring_dedup_topk_packed(
-        pos, neg, counts, lib.pairs, mesh, k=k,
+        pos, neg, counts, lib.pairs, mesh, k=k_dev,
         subfingerprint_length=lib.config.subfingerprint_length)
     scores, idx = np.asarray(scores)[:l_real], np.asarray(idx)[:l_real]
     out = []
     for t in range(l_real):
         cands = [{"track": names[int(j)], "score": round(float(s), 4)}
                  for s, j in zip(scores[t], idx[t])
-                 if 0 <= int(j) < l_real and float(s) >= args.threshold]
+                 if 0 <= int(j) < l_real and float(s) >= args.threshold][:k]
         if cands:
             out.append({"track": names[t], "candidates": cands})
     print(json.dumps(out, indent=None if args.compact else 2))

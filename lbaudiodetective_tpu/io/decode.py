@@ -94,4 +94,11 @@ def decode_audio_file_raw(path: str) -> tuple[np.ndarray, float]:
     essay introduces downsampling only with the AFA; this is the entry
     point for consumers that want the un-resampled signal.
     """
-    return _read_file(path)
+    from lbaudiodetective_tpu.errors import DecodeError
+
+    samples, file_rate = _read_file(path)
+    if not (1000.0 <= file_rate <= 1e6):
+        # Same corruption guard as decode_audio_file: a rate this far
+        # outside real audio is a malformed header, not a format.
+        raise DecodeError(f"file sample rate {file_rate!r} out of range")
+    return samples, file_rate

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbaudiodetective_tpu.ops.dft import rdft_bins
+from lbaudiodetective_tpu.ops.match import banded_diagonal_sums
 
 WINDOW = 512             # essay: "windows of 512 KB in size" (sample frames)
 N_CATEGORIES = 5         # essay: "20kHz ... is split into 5 ranges"
@@ -65,6 +66,16 @@ def _category_constants(window: int, sample_rate: float, n_categories: int,
     freqs = ks * (sample_rate / window)
     cat = np.floor(freqs / category_hz).astype(np.int64)
     masks = np.stack([(cat == c) for c in range(n_categories)])
+    if not masks.any(axis=1).all():
+        # An empty category's masked argmax would silently report bin 0 and
+        # contribute d=0 to every comparison, inflating match counts; the
+        # essay's design assumes the iPhone's 44.1 kHz pipeline populates
+        # all 5 ranges.  Refuse the out-of-spec regime instead.
+        raise ValueError(
+            f"sample rate {sample_rate:g} Hz leaves a frequency category "
+            f"empty ({n_categories} x {category_hz:g} Hz needs Nyquist >= "
+            f"{(n_categories - 1) * category_hz:g} Hz); the MAA is specified "
+            "for 44.1 kHz material")
     return freqs.astype(np.float32), masks
 
 
@@ -102,16 +113,10 @@ def _offset_match_counts(match: jnp.ndarray, n1: jnp.ndarray,
     """``counts[o] = sum_{j < n2} match[o+j, j]`` for valid o, else -1.
 
     match: ``[S1, S2]`` float32 in {0, 1}, rows/cols beyond n1/n2 zero.
-    One skewed-index reduction (cold path — the AFA's gather-free roll form
-    lives in ops.match.banded_diagonal_sums for the hot matcher).
+    Reuses the AFA matcher's gather-free banded-diagonal reduction.
     """
-    s1, s2 = match.shape[-2:]
-    rows = jnp.arange(s1)[:, None] + jnp.arange(s2)[None, :]
-    padded = jnp.concatenate(
-        [match, jnp.zeros((*match.shape[:-2], s2, s2), match.dtype)], axis=-2)
-    diag = jnp.take_along_axis(padded, rows, axis=-2)   # diag[o, j]
-    counts = diag.sum(axis=-1)
-    o_valid = jnp.arange(s1) <= (n1 - n2)
+    counts = banded_diagonal_sums(match, n2)
+    o_valid = jnp.arange(match.shape[-2]) <= (n1 - n2)
     return jnp.where(o_valid, counts, -1.0)
 
 

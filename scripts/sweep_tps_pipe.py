@@ -54,8 +54,8 @@ for label, kw in [
     ("pipe_select tps=4          ", dict(pipe_select=True, tps_override=4)),
     ("pipe_select tps=2          ", dict(pipe_select=True, tps_override=2)),
 ]:
-    if S % kw.get("tps_override", 8):
-        continue
+    if "tps_override" in kw and S % kw["tps_override"]:
+        continue  # explicit tps must divide S; auto-tps variants always run
 
     @jax.jit
     def step(carry, kw=kw):

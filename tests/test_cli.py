@@ -168,6 +168,7 @@ def test_dedup_bad_args(tmp_path, capsys):
     assert main(["enroll", str(d), "-o", lib]) == 0
     assert main(["dedup", "--library", lib]) == 2          # < 2 tracks
     assert main(["dedup", "--library", lib, "--top-k", "0"]) == 2
+    assert main(["dedup", "--library", lib, "--devices", "0"]) == 2
 
 
 def test_compare_maa(capsys):

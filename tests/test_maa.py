@@ -90,3 +90,13 @@ def test_corpus_equal_matrix_pinned():
         assert off <= 2
     assert len(identified) == 9
     assert "Chaffinch" not in identified
+
+
+def test_low_rate_refused():
+    """Empty frequency categories (rates below ~35 kHz) are refused instead
+    of silently inflating match counts with argmax-of-empty sentinel bins."""
+    import pytest
+
+    sig = jnp.zeros(8000, jnp.float32)
+    with pytest.raises(ValueError, match="category"):
+        maa_subfingerprints(sig, 8000.0)

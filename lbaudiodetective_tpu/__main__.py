@@ -225,10 +225,18 @@ def cmd_client(args) -> int:
     import urllib.error
     import urllib.request
 
-    with open(args.clip, "rb") as f:
-        payload = f.read()
-    url = args.url.rstrip("/") + ("/fingerprint" if args.fingerprint
-                                  else "/identify")
+    if args.local_extract:
+        # The essay's actual division of labour (PDF §3.2.5): the client
+        # fingerprints locally and uploads the fingerprint string; the
+        # server only matches.
+        fp, _ = _extract(args.clip)
+        payload = fp.to_string().encode("ascii")
+        url = args.url.rstrip("/") + "/identify-fingerprint"
+    else:
+        with open(args.clip, "rb") as f:
+            payload = f.read()
+        url = args.url.rstrip("/") + ("/fingerprint" if args.fingerprint
+                                      else "/identify")
     req = urllib.request.Request(url, data=payload)
     try:
         with urllib.request.urlopen(req, timeout=args.timeout) as r:
@@ -315,6 +323,10 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--url", default="http://127.0.0.1:8414")
     cl.add_argument("--fingerprint", action="store_true",
                     help="request /fingerprint instead of /identify")
+    cl.add_argument("--local-extract", action="store_true",
+                    help="fingerprint locally and upload only the "
+                         "fingerprint string (the essay's phone-side "
+                         "extraction protocol)")
     cl.add_argument("--timeout", type=float, default=120.0)
     cl.set_defaults(fn=cmd_client)
     return p

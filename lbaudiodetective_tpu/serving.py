@@ -16,6 +16,10 @@ Endpoints (JSON unless noted):
                               exact top-k "top" list replaces "scores")
   POST /fingerprint           body: raw CAF or WAV bytes
                               -> {"n": count, "fingerprint": "0110...+..."}
+  POST /identify-fingerprint  body: fingerprint string ("0110...+...") —
+                              the essay's actual protocol (the phone
+                              fingerprints locally, the server only
+                              matches); match-only, no extraction dispatch
 
 No third-party dependencies (stdlib ``http.server``); thread-safe because
 the library is immutable after construction and JAX dispatch is serialised
@@ -131,6 +135,30 @@ class IdentificationService:
         if self.batch_window_s <= 0:
             return self._respond(self._fingerprint_bytes(payload))
         return self._identify_batched(payload)
+
+    def identify_fingerprint(self, payload: bytes) -> dict:
+        """Identify from an uploaded FINGERPRINT (string golden form).
+
+        The essay's actual client/server division of labour (PDF §3.2.5):
+        the iPhone fingerprints locally and uploads the fingerprint; the
+        server only matches.  Match-only path — no decode or extraction
+        dispatch happens server-side.
+        """
+        try:
+            text = payload.decode("ascii")
+        except UnicodeDecodeError as e:
+            raise errors.InvalidArgumentError(
+                f"fingerprint payload is not ASCII: {e}") from None
+        text = text.strip()
+        if text and set(text) - set("01+"):
+            raise errors.InvalidArgumentError(
+                "fingerprint string may contain only '0', '1' and '+'")
+        try:
+            fp = Fingerprint.from_string(
+                text, self.config.subfingerprint_length)
+        except ValueError as e:                 # ragged subfingerprints
+            raise errors.InvalidArgumentError(str(e)) from None
+        return self._respond(fp)
 
     # -- micro-batching -----------------------------------------------------
 
@@ -263,6 +291,8 @@ def make_server(service: IdentificationService, host: str = "127.0.0.1",
                 payload = self.rfile.read(length)
                 if self.path == "/identify":
                     self._send(200, service.identify(payload))
+                elif self.path == "/identify-fingerprint":
+                    self._send(200, service.identify_fingerprint(payload))
                 elif self.path == "/fingerprint":
                     self._send(200, service.fingerprint(payload))
                 else:

@@ -100,6 +100,11 @@ def test_client_server_roundtrip(tiny_corpus, tmp_path, capsys):
         assert main(["client", crop, "--url", url, "--fingerprint"]) == 0
         fp = json.loads(capsys.readouterr().out.strip())
         assert fp["n"] > 0 and set(fp["fingerprint"]) <= {"0", "1", "+"}
+        # The essay's actual protocol: client-side extraction, the server
+        # matches the uploaded fingerprint string only.
+        assert main(["client", crop, "--url", url, "--local-extract"]) == 0
+        out_fp = json.loads(capsys.readouterr().out.strip())
+        assert out_fp["track"] == "BlackBird" and out_fp["score"] > 0.9
         # Unreachable server: exit code 2, not a traceback.
         assert main(["client", crop, "--url", "http://127.0.0.1:1",
                      "--timeout", "2"]) == 2

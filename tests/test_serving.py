@@ -402,3 +402,23 @@ def test_serving_soak_mixed_load(decoded_corpus, default_config):
             assert o["track"] == BIRDS[0], o
         else:
             assert o == "typed-error", o
+
+
+def test_identify_fingerprint_endpoint(server):
+    """The essay's protocol (PDF §3.2.5): upload the fingerprint STRING,
+    the server only matches — response equals the audio-upload path."""
+    payload = open(corpus_path("BlueTit_eql"), "rb").read()
+    _, via_audio = _post(server, "/identify", payload)
+    _, fp_body = _post(server, "/fingerprint", payload)
+    status, body = _post(server, "/identify-fingerprint",
+                         fp_body["fingerprint"].encode())
+    assert status == 200
+    assert body["track"] == "BlueTit" and body["score"] > 0.9
+    assert body["scores"] == pytest.approx(via_audio["scores"])
+
+
+def test_identify_fingerprint_rejects_bad_payloads(server):
+    for bad in (b"\xff\xfebinary", b"01x10", b"0101+01", b""):
+        status, body = _post(server, "/identify-fingerprint", bad)
+        assert status == 400, bad
+        assert "error" in body

@@ -99,3 +99,28 @@ def test_oracle_stale_tail_mode(default_config):
     np.testing.assert_array_equal(
         spectrogram_rows(clip, cfg_p),
         spectrogram_rows(clip, cfg_p, stale_tail=True))
+
+
+def test_silence_extracts_all_zero_subfingerprints(default_config):
+    """All-zero audio: every Haar coefficient is 0, so the reference emits
+    NEITHER sign bit per wavelet (Frame.m:182-190 — zero sets neither pos
+    nor neg); matching such a fingerprint scores 0 (no possible hits, Q10).
+    Both the JAX path and the oracle must agree on this degenerate input."""
+    import numpy as np
+
+    from lbaudiodetective_tpu.io.decode import DecodedAudio
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+    from lbaudiodetective_tpu.ops.match import match_fingerprints
+
+    rate = default_config.processing_sample_rate
+    file_rate = default_config.file_sample_rate
+    secs = 3.0
+    d = DecodedAudio(np.zeros(int(secs * rate), np.float32), rate,
+                     int(secs * file_rate), file_rate)
+    pos, neg, n = extract_fingerprint(d, default_config)
+    assert n > 0
+    assert not np.asarray(pos[:n]).any() and not np.asarray(neg[:n]).any()
+    score = match_fingerprints(
+        (np.asarray(pos[:n]), np.asarray(neg[:n])),
+        (np.asarray(pos[:n]), np.asarray(neg[:n])))
+    assert score == 0.0            # Q10: zero possible hits -> 0

@@ -145,11 +145,16 @@ def test_v3_pipe_select_batch_lag():
 @pytest.mark.parametrize("n_tiles,b", [
     (4, 3),     # tps=4, n_steps=1 -> batch lag at tps=4
     (12, 2),    # tps=4, n_steps=3 -> time lag at tps=4
+    (2, 3),     # tps=2, n_steps=1 -> batch lag at tps=2
+    (3, 2),     # tps=1, n_steps=3 -> time lag at tps=1 (odd tile counts —
+                # the COMMON real-clip case: any odd subfingerprint bucket)
 ])
-def test_v3_pipe_select_tps4(n_tiles, b):
-    """pipe_select at the tps=4 geometry (tile counts not divisible by 8):
-    both lag axes must stay element-exact."""
-    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+def test_v3_pipe_select_small_tps(n_tiles, b):
+    """pipe_select at tps<8 geometries (tile counts not divisible by 8):
+    both lag axes must stay element-exact.  Odd tile counts force tps=1,
+    which real corpus clips hit whenever the subfingerprint bucket is odd."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import (
+        fused_band_rows_v3, v3_tiles_per_step)
     from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
 
     cfg = FingerprintConfig()
@@ -161,8 +166,8 @@ def test_v3_pipe_select_tps4(n_tiles, b):
     coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
                                 fuse_haar=True)
     cls_two = np.asarray(select_sign_classes(
-        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)), f_blk=4,
-        interpret=True))
+        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)),
+        f_blk=v3_tiles_per_step(n_tiles), interpret=True))
     cls_pipe = np.asarray(fused_band_rows_v3(
         audio, cfg, n_rows, interpret=True, fuse_haar=True,
         pipe_select=True)).reshape(-1, 128)

@@ -36,7 +36,7 @@ def _extract(path: str):
 
 
 def _audio_files(directory: str) -> list[pathlib.Path]:
-    exts = {".caf", ".wav", ".aiff", ".aif", ".aifc"}
+    exts = {".caf", ".wav", ".aiff", ".aif", ".aifc", ".au", ".snd"}
     return sorted(p for p in pathlib.Path(directory).iterdir()
                   if p.suffix.lower() in exts)
 

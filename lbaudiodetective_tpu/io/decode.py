@@ -52,6 +52,10 @@ def _read_file(path: str) -> tuple[np.ndarray, float]:
         from lbaudiodetective_tpu.io.aiff import read_aiff
 
         return read_aiff(path)
+    if magic == b".snd":
+        from lbaudiodetective_tpu.io.au import read_au
+
+        return read_au(path)
     try:
         from lbaudiodetective_tpu.io.native import binding as native
     except Exception:

@@ -96,7 +96,8 @@ class IdentificationService:
 
     def _decode_bytes(self, payload: bytes):
         suffix = (".caf" if payload[:4] == b"caff"
-                  else ".aiff" if payload[:4] == b"FORM" else ".wav")
+                  else ".aiff" if payload[:4] == b"FORM"
+                  else ".au" if payload[:4] == b".snd" else ".wav")
         with tempfile.NamedTemporaryFile(suffix=suffix) as f:
             f.write(payload)
             f.flush()

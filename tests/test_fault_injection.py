@@ -103,6 +103,10 @@ def test_fuzz_truncation_and_mutation_all_containers(tmp_path):
     body = b"WAVE" + fmt + data
     samples["wav_ulaw"] = b"RIFF" + struct.pack("<I", len(body)) + body
     samples["caf_ima4"] = open(corpus_path("Wren_eql"), "rb").read()
+    from lbaudiodetective_tpu.io.au import write_au
+    p = tmp_path / "t.au"
+    write_au(str(p), x, 8000.0)
+    samples["au_pcm"] = p.read_bytes()
 
     def run_one(name, blob, i):
         f = tmp_path / f"fz_{name}_{i}"
@@ -110,13 +114,14 @@ def test_fuzz_truncation_and_mutation_all_containers(tmp_path):
         try:
             out, rate = {
                 "wav_pcm": _wav, "wav_ulaw": _wav,
-                "aiff": _aiff, "caf_ima4": _caf_read,
+                "aiff": _aiff, "caf_ima4": _caf_read, "au_pcm": _au,
             }[name](str(f))
         except AudioDetectiveError:
             return
         assert out.dtype == np.float32
 
     from lbaudiodetective_tpu.io.aiff import read_aiff as _aiff
+    from lbaudiodetective_tpu.io.au import read_au as _au
     from lbaudiodetective_tpu.io.wav import read_wav as _wav
     _caf_read = caf.read_caf
 

@@ -42,6 +42,22 @@ class DecodedAudio:
 
 
 def _read_file(path: str) -> tuple[np.ndarray, float]:
+    try:
+        from lbaudiodetective_tpu.io.native import binding as native
+    except Exception:
+        native = None
+    if native is not None and native.available():
+        try:
+            # Container-dispatching C++ decode (CAF/WAV/AIFF/AU by magic);
+            # semantics-validated vs the NumPy readers per container/codec
+            # (tests/test_native_decoder.py).
+            return native.read_audio(path)
+        except Exception:
+            # A codec the built .so predates (ADPCM WAV, new formats) or a
+            # native-only failure: the NumPy readers below are the
+            # behavioural source of truth — let them either decode the
+            # file or raise the typed error.
+            pass
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == b"RIFF":
@@ -56,18 +72,6 @@ def _read_file(path: str) -> tuple[np.ndarray, float]:
         from lbaudiodetective_tpu.io.au import read_au
 
         return read_au(path)
-    try:
-        from lbaudiodetective_tpu.io.native import binding as native
-    except Exception:
-        native = None
-    if native is not None and native.available():
-        try:
-            return native.read_caf(path)
-        except Exception:
-            # A codec the built .so predates (or a native-only failure):
-            # the NumPy reader is the behavioural source of truth — let it
-            # either decode the file or raise the typed error.
-            return _caf.read_caf(path)
     return _caf.read_caf(path)
 
 

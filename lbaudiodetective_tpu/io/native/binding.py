@@ -35,6 +35,8 @@ def _load():
         lib.lbad_read_caf.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double)]
+        lib.lbad_read_audio.restype = ctypes.c_int
+        lib.lbad_read_audio.argtypes = lib.lbad_read_caf.argtypes
         lib.lbad_resample.restype = ctypes.c_int
         lib.lbad_resample.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -51,22 +53,34 @@ def available() -> bool:
     return _load() is not None
 
 
-def read_caf(path: str) -> tuple[np.ndarray, float]:
+def _read_via(fn_name: str, path: str) -> tuple[np.ndarray, float]:
     lib = _load()
     if lib is None:
         raise RuntimeError("native decoder unavailable")
     ptr = ctypes.POINTER(ctypes.c_float)()
     n = ctypes.c_int64()
     rate = ctypes.c_double()
-    status = lib.lbad_read_caf(path.encode(), ctypes.byref(ptr),
-                               ctypes.byref(n), ctypes.byref(rate))
+    status = getattr(lib, fn_name)(path.encode(), ctypes.byref(ptr),
+                                   ctypes.byref(n), ctypes.byref(rate))
     if status != 0:
-        raise DecodeError(f"native CAF decode failed (status {status}) for {path}")
+        raise DecodeError(f"native decode failed (status {status}) for {path}")
     try:
         samples = np.ctypeslib.as_array(ptr, shape=(n.value,)).copy()
     finally:
         lib.lbad_free(ptr)
     return samples, rate.value
+
+
+def read_caf(path: str) -> tuple[np.ndarray, float]:
+    return _read_via("lbad_read_caf", path)
+
+
+def read_audio(path: str) -> tuple[np.ndarray, float]:
+    """Container-dispatching native decode (CAF/WAV/AIFF/AU by magic).
+
+    Raises on unsupported codecs (e.g. ADPCM WAV) so callers fall back to
+    the NumPy readers — the behavioural source of truth."""
+    return _read_via("lbad_read_audio", path)
 
 
 def resample(x: np.ndarray, bank: np.ndarray, up: int, down: int) -> np.ndarray:

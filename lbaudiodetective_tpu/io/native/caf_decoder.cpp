@@ -10,6 +10,7 @@
 //
 // Build: make -C lbaudiodetective_tpu/io/native   (g++ -O3 -shared -fPIC)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -145,10 +146,16 @@ void decode_lpcm(const uint8_t* data, size_t size, uint32_t flags,
                 double x;
                 std::memcpy(&x, buf, 8);
                 v = x;
+            } else if (bits == 8) {
+                v = static_cast<int8_t>(buf[0]) / 128.0;
             } else if (bits == 16) {
                 int16_t x;
                 std::memcpy(&x, buf, 2);
                 v = x / 32768.0;
+            } else if (bits == 24) {
+                int32_t x = buf[0] | (buf[1] << 8) | (buf[2] << 16);
+                if (x >= (1 << 23)) x -= (1 << 24);
+                v = x / 8388608.0;
             } else if (bits == 32) {
                 int32_t x;
                 std::memcpy(&x, buf, 4);
@@ -160,25 +167,212 @@ void decode_lpcm(const uint8_t* data, size_t size, uint32_t flags,
     }
 }
 
-}  // namespace
+inline uint16_t le16(const uint8_t* p) {
+    return static_cast<uint16_t>(p[0] | (p[1] << 8));
+}
+inline uint32_t le32(const uint8_t* p) {
+    return static_cast<uint32_t>(p[0]) | (p[1] << 8) | (p[2] << 16)
+           | (static_cast<uint32_t>(p[3]) << 24);
+}
 
-extern "C" {
+// IEEE 754 80-bit extended float (the AIFF COMM sampleRate field); mirrors
+// io/aiff.py::_read_extended80.
+inline double ext80(const uint8_t* p) {
+    uint16_t se = be16(p);
+    uint64_t mant = be64(p + 2);
+    double sign = (se & 0x8000) ? -1.0 : 1.0;
+    int exp = se & 0x7FFF;
+    if (exp == 0 && mant == 0) return 0.0;
+    if (exp == 0x7FFF) return 0.0;  // non-finite: caller rejects rate 0
+    return sign * static_cast<double>(mant)
+           * std::pow(2.0, exp - 16383 - 63);
+}
 
-// Returns 0 on success.  *out_samples is malloc'd; free with lbad_free.
-int lbad_read_caf(const char* path, float** out_samples, int64_t* out_n,
-                  double* out_rate) {
+// RIFF/WAVE: integer PCM 16/24/32, float32/64, G.711 (tags 6/7), incl.
+// WAVE_FORMAT_EXTENSIBLE subformats; mirrors io/wav.py::read_wav.  ADPCM
+// (tags 2/0x11) returns nonzero so the caller falls back to NumPy.
+int read_wav_buffer(const std::vector<uint8_t>& raw,
+                    std::vector<float>* samples, double* out_rate) {
+    const size_t n = raw.size();
+    if (n < 12 || std::memcmp(raw.data(), "RIFF", 4) != 0
+        || std::memcmp(raw.data() + 8, "WAVE", 4) != 0)
+        return 3;
+    size_t off = 12;
+    bool have_fmt = false;
+    uint32_t audio_format = 0, channels = 0, rate = 0, bits = 0;
+    const uint8_t* fmt_payload = nullptr;
+    size_t fmt_size = 0;
+    const uint8_t* data = nullptr;
+    size_t data_size = 0;
+    while (off + 8 <= n) {
+        const uint8_t* hdr = raw.data() + off;
+        size_t csize = le32(hdr + 4);
+        size_t payload = off + 8;
+        if (payload + csize > n) csize = n - payload;  // tolerate truncation
+        if (std::memcmp(hdr, "fmt ", 4) == 0) {
+            if (csize < 16) return 4;
+            fmt_payload = raw.data() + payload;
+            fmt_size = csize;
+            audio_format = le16(fmt_payload);
+            channels = le16(fmt_payload + 2);
+            rate = le32(fmt_payload + 4);
+            bits = le16(fmt_payload + 14);
+            have_fmt = true;
+        } else if (std::memcmp(hdr, "data", 4) == 0) {
+            data = raw.data() + payload;
+            data_size = csize;
+        }
+        off = payload + csize + (csize & 1);           // word-aligned chunks
+    }
+    if (!have_fmt || !data || rate == 0) return 4;
+    if (audio_format == 0xFFFE) {                       // EXTENSIBLE
+        if (fmt_size < 26) return 6;
+        audio_format = le16(fmt_payload + 24);          // SubFormat GUID tag
+    }
+    if (channels < 1) return 4;
+    *out_rate = static_cast<double>(rate);
+    if (audio_format == 1) {                            // integer PCM
+        if (bits != 16 && bits != 24 && bits != 32) return 6;
+        decode_lpcm(data, data_size, /*flags=*/2u, bits, channels, samples);
+    } else if (audio_format == 3) {                     // IEEE float
+        if (bits != 32 && bits != 64) return 6;
+        decode_lpcm(data, data_size, /*flags=*/3u, bits, channels, samples);
+    } else if (audio_format == 6 || audio_format == 7) {  // G.711
+        decode_g711(data, data_size, audio_format == 7, channels, -1, samples);
+    } else {
+        return 6;  // ADPCM etc.: NumPy fallback decodes (or raises typed)
+    }
+    return 0;
+}
+
+// AIFF/AIFF-C: big-endian PCM 8/16/24/32, 'sowt', fl32/fl64, ulaw/alaw;
+// mirrors io/aiff.py::read_aiff.
+int read_aiff_buffer(const std::vector<uint8_t>& raw,
+                     std::vector<float>* samples, double* out_rate) {
+    const size_t n = raw.size();
+    if (n < 12 || std::memcmp(raw.data(), "FORM", 4) != 0) return 3;
+    const bool is_aifc = std::memcmp(raw.data() + 8, "AIFC", 4) == 0;
+    if (!is_aifc && std::memcmp(raw.data() + 8, "AIFF", 4) != 0) return 3;
+    size_t off = 12;
+    bool have_comm = false;
+    uint32_t channels = 0, frames = 0, bits = 0;
+    double rate = 0.0;
+    char comp[5] = {'N', 'O', 'N', 'E', 0};
+    const uint8_t* ssnd = nullptr;
+    size_t ssnd_size = 0;
+    while (off + 8 <= n) {
+        const uint8_t* hdr = raw.data() + off;
+        size_t csize = be32(hdr + 4);
+        size_t payload = off + 8;
+        if (payload + csize > n) csize = n - payload;
+        if (std::memcmp(hdr, "COMM", 4) == 0) {
+            if (csize < 18) return 4;
+            channels = be16(raw.data() + payload);
+            frames = be32(raw.data() + payload + 2);
+            bits = be16(raw.data() + payload + 6);
+            rate = ext80(raw.data() + payload + 8);
+            have_comm = true;
+            if (is_aifc && csize >= 22)
+                std::memcpy(comp, raw.data() + payload + 18, 4);
+        } else if (std::memcmp(hdr, "SSND", 4) == 0) {
+            if (csize < 8) return 4;
+            size_t data_off = be32(raw.data() + payload);
+            if (8 + data_off <= csize) {
+                ssnd = raw.data() + payload + 8 + data_off;
+                ssnd_size = csize - 8 - data_off;
+            }
+        }
+        off = payload + csize + (csize & 1);
+    }
+    if (!have_comm || !ssnd || channels < 1 || !(rate > 0.0) || rate >= 1e7)
+        return 4;
+    *out_rate = rate;
+    const bool sowt = std::memcmp(comp, "sowt", 4) == 0;
+    if (std::memcmp(comp, "NONE", 4) == 0 || sowt) {
+        if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return 6;
+        decode_lpcm(ssnd, ssnd_size, sowt ? 2u : 0u, bits, channels, samples);
+    } else if (std::memcmp(comp, "fl32", 4) == 0
+               || std::memcmp(comp, "FL32", 4) == 0) {
+        decode_lpcm(ssnd, ssnd_size, 1u, 32, channels, samples);
+    } else if (std::memcmp(comp, "fl64", 4) == 0
+               || std::memcmp(comp, "FL64", 4) == 0) {
+        decode_lpcm(ssnd, ssnd_size, 1u, 64, channels, samples);
+    } else if (std::memcmp(comp, "ulaw", 4) == 0
+               || std::memcmp(comp, "ULAW", 4) == 0
+               || std::memcmp(comp, "alaw", 4) == 0
+               || std::memcmp(comp, "ALAW", 4) == 0) {
+        decode_g711(ssnd, ssnd_size, comp[0] == 'u' || comp[0] == 'U',
+                    channels, -1, samples);
+    } else {
+        return 6;
+    }
+    if (frames > 0 && samples->size() > frames) samples->resize(frames);
+    return 0;
+}
+
+// Sun/NeXT AU: PCM 8/16/24/32 BE, float32/64 BE, G.711; mirrors
+// io/au.py::read_au.
+int read_au_buffer(const std::vector<uint8_t>& raw,
+                   std::vector<float>* samples, double* out_rate) {
+    const size_t n = raw.size();
+    if (n < 24 || std::memcmp(raw.data(), ".snd", 4) != 0) return 3;
+    uint32_t data_off = be32(raw.data() + 4);
+    uint32_t data_size = be32(raw.data() + 8);
+    uint32_t enc = be32(raw.data() + 12);
+    uint32_t rate = be32(raw.data() + 16);
+    uint32_t channels = be32(raw.data() + 20);
+    if (data_off < 24 || data_off > n || channels < 1 || rate == 0
+        || rate >= 10000000u)
+        return 4;
+    const uint8_t* data = raw.data() + data_off;
+    size_t avail = n - data_off;
+    if (data_size != 0xFFFFFFFFu && data_size < avail) avail = data_size;
+    *out_rate = static_cast<double>(rate);
+    switch (enc) {
+        case 1: decode_g711(data, avail, true, channels, -1, samples); break;
+        case 27: decode_g711(data, avail, false, channels, -1, samples); break;
+        case 2: decode_lpcm(data, avail, 0u, 8, channels, samples); break;
+        case 3: decode_lpcm(data, avail, 0u, 16, channels, samples); break;
+        case 4: decode_lpcm(data, avail, 0u, 24, channels, samples); break;
+        case 5: decode_lpcm(data, avail, 0u, 32, channels, samples); break;
+        case 6: decode_lpcm(data, avail, 1u, 32, channels, samples); break;
+        case 7: decode_lpcm(data, avail, 1u, 64, channels, samples); break;
+        default: return 6;
+    }
+    return 0;
+}
+
+int read_caf_buffer(const std::vector<uint8_t>& raw,
+                    std::vector<float>* out, double* out_rate);
+
+int read_file_bytes(const char* path, std::vector<uint8_t>* raw) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return 1;
     std::fseek(f, 0, SEEK_END);
     long fsize = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
-    std::vector<uint8_t> raw(static_cast<size_t>(fsize));
-    if (std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+    raw->resize(static_cast<size_t>(fsize));
+    if (std::fread(raw->data(), 1, raw->size(), f) != raw->size()) {
         std::fclose(f);
         return 2;
     }
     std::fclose(f);
+    return 0;
+}
 
+int emit(const std::vector<float>& samples, double rate,
+         float** out_samples, int64_t* out_n, double* out_rate) {
+    *out_n = static_cast<int64_t>(samples.size());
+    *out_samples =
+        static_cast<float*>(std::malloc(samples.size() * sizeof(float)));
+    if (!*out_samples) return 7;
+    std::memcpy(*out_samples, samples.data(), samples.size() * sizeof(float));
+    *out_rate = rate;
+    return 0;
+}
+
+int read_caf_buffer(const std::vector<uint8_t>& raw,
+                    std::vector<float>* out, double* out_rate) {
     if (raw.size() < 8 || std::memcmp(raw.data(), "caff", 4) != 0) return 3;
 
     double rate = 0.0;
@@ -228,12 +422,52 @@ int lbad_read_caf(const char* path, float** out_samples, int64_t* out_n,
         return 6;
     }
 
-    *out_n = static_cast<int64_t>(samples.size());
-    *out_samples = static_cast<float*>(std::malloc(samples.size() * sizeof(float)));
-    if (!*out_samples) return 7;
-    std::memcpy(*out_samples, samples.data(), samples.size() * sizeof(float));
+    *out = std::move(samples);
     *out_rate = rate;
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success.  *out_samples is malloc'd; free with lbad_free.
+int lbad_read_caf(const char* path, float** out_samples, int64_t* out_n,
+                  double* out_rate) {
+    std::vector<uint8_t> raw;
+    int rc = read_file_bytes(path, &raw);
+    if (rc) return rc;
+    std::vector<float> samples;
+    double rate = 0.0;
+    rc = read_caf_buffer(raw, &samples, &rate);
+    if (rc) return rc;
+    return emit(samples, rate, out_samples, out_n, out_rate);
+}
+
+// Container-dispatching entry: CAF, WAV, AIFF/AIFF-C, AU/SND by magic.
+// Nonzero statuses (unknown magic, unsupported codec, malformed header)
+// signal the Python binding to fall back to the NumPy readers, which are
+// the behavioural source of truth for error reporting.
+int lbad_read_audio(const char* path, float** out_samples, int64_t* out_n,
+                    double* out_rate) {
+    std::vector<uint8_t> raw;
+    int rc = read_file_bytes(path, &raw);
+    if (rc) return rc;
+    if (raw.size() < 4) return 3;
+    std::vector<float> samples;
+    double rate = 0.0;
+    if (std::memcmp(raw.data(), "caff", 4) == 0)
+        rc = read_caf_buffer(raw, &samples, &rate);
+    else if (std::memcmp(raw.data(), "RIFF", 4) == 0)
+        rc = read_wav_buffer(raw, &samples, &rate);
+    else if (std::memcmp(raw.data(), "FORM", 4) == 0)
+        rc = read_aiff_buffer(raw, &samples, &rate);
+    else if (std::memcmp(raw.data(), ".snd", 4) == 0)
+        rc = read_au_buffer(raw, &samples, &rate);
+    else
+        return 3;
+    if (rc) return rc;
+    return emit(samples, rate, out_samples, out_n, out_rate);
 }
 
 // Polyphase rational resampling with a caller-provided filter bank

@@ -300,345 +300,368 @@ def _rows_kernel_v3(*refs,
                     two_pass: bool = False, fuse_select: bool = False,
                     dense_pairs: bool = False, aux2: bool = False,
                     cat_gk: bool = False, vmaj: bool = False,
-                    pipe_select: bool = False):
+                    pipe_select: bool = False, lag_t: bool = False,
+                    n_steps: int = 0):
     blk_refs = refs[:n_blk]
     if pipe_select:
-        (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
-         perm_ref, hcols_ref, out_ref, tail_ref, sel_scr) = refs[n_blk:]
+        if lag_t:
+            (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
+             perm_ref, hcols_ref, out_ref, sel_scr) = refs[n_blk:]
+        else:
+            (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
+             perm_ref, hcols_ref, out_ref, tail_ref, sel_scr) = refs[n_blk:]
         # Software-pipelined select (scripts/probe_mxu_vpu_overlap.py: MXU
         # matmuls and independent VPU chains overlap ~88% when traced in the
         # same straight-line body): select the PREVIOUS grid step's Haar
         # frames from scratch while this step's matmuls drain.  The lagged
-        # out_specs index map routes this write to block t-1; the t=0 write
-        # lands in block 0 and is overwritten by t=1's before the revolving
-        # window flushes (same block index).
+        # out_specs index map routes this write to block t-1.
         from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
 
-        out_ref[0] = _select_body(sel_scr[:], tps, band_major=True)
+        if lag_t:
+            # The grid runs n_steps+1 steps per clip: the extra final step
+            # is select-only (matmuls pl.when-gated off below), replacing
+            # the old standalone tail kernel + stitch.  t=0 has nothing to
+            # select yet, so its (would-be garbage) write is gated too.
+            @pl.when(pl.program_id(1) > 0)
+            def _select_prev():
+                out_ref[0] = _select_body(sel_scr[:], tps, band_major=True)
+        else:
+            # Batch lag: the t=0 garbage write lands in block 0 and is
+            # overwritten by its successor before the revolving window
+            # flushes (same block index).
+            out_ref[0] = _select_body(sel_scr[:], tps, band_major=True)
     else:
         (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
          perm_ref, hcols_ref, out_ref) = refs[n_blk:]
-    hi = precision
-    full = jnp.concatenate([b[0, 0] for b in blk_refs], axis=0)  # [K*u, 128]
-    qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
-    dn = (((0,), (0,)), ((), ()))
+    def _main():
+        hi = precision
+        full = jnp.concatenate([b[0, 0] for b in blk_refs], axis=0)  # [K*u, 128]
+        qu = -(-(hop * (rows - 1) + _LANE) // _LANE)
+        dn = (((0,), (0,)), ((), ()))
 
-    def split3(x):
-        xh = x.astype(jnp.bfloat16)
-        return xh, (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        def split3(x):
+            xh = x.astype(jnp.bfloat16)
+            return xh, (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
 
-    def stage1_pair(stack):
-        if aux3:
-            # 3-pass bf16 with pre-split (hi, lo) weight planes (~HIGH
-            # precision at half the passes of Mosaic HIGHEST).
-            sh, sl = split3(stack)
+        def stage1_pair(stack):
+            if aux3:
+                # 3-pass bf16 with pre-split (hi, lo) weight planes (~HIGH
+                # precision at half the passes of Mosaic HIGHEST).
+                sh, sl = split3(stack)
 
-            def dg(a, b):
-                return jax.lax.dot_general(
-                    a, b, dn, preferred_element_type=jnp.float32)
+                def dg(a, b):
+                    return jax.lax.dot_general(
+                        a, b, dn, preferred_element_type=jnp.float32)
 
-            if aux2:
-                return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[0], sl),
-                        dg(c16_im_ref[0], sh) + dg(c16_im_ref[0], sl))
-            return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[1], sh)
-                    + dg(c16_re_ref[0], sl),
-                    dg(c16_im_ref[0], sh) + dg(c16_im_ref[1], sh)
-                    + dg(c16_im_ref[0], sl))
-        return (jax.lax.dot_general(c16_re_ref[:], stack, dn, precision=hi,
-                                    preferred_element_type=jnp.float32),
-                jax.lax.dot_general(c16_im_ref[:], stack, dn, precision=hi,
-                                    preferred_element_type=jnp.float32))
+                if aux2:
+                    return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[0], sl),
+                            dg(c16_im_ref[0], sh) + dg(c16_im_ref[0], sl))
+                return (dg(c16_re_ref[0], sh) + dg(c16_re_ref[1], sh)
+                        + dg(c16_re_ref[0], sl),
+                        dg(c16_im_ref[0], sh) + dg(c16_im_ref[1], sh)
+                        + dg(c16_im_ref[0], sl))
+            return (jax.lax.dot_general(c16_re_ref[:], stack, dn, precision=hi,
+                                        preferred_element_type=jnp.float32),
+                    jax.lax.dot_general(c16_im_ref[:], stack, dn, precision=hi,
+                                        preferred_element_type=jnp.float32))
 
-    # Step-level stage-1: consecutive tiles' stage-1 inputs overlap (tile k
-    # reads rows [k*adv, k*adv+qu)), so ONE dot over the union span replaces
-    # tps shallow per-tile dots (the fill cost of tiny M=16 matmuls dominated)
-    # and each tile's P becomes a free major-axis slice.
-    m_tot = (tps - 1) * adv_rows + qu
-    # batched_rolls selects the legacy per-tile path so the A/B scripts
-    # compare real alternatives (step-level is the shipped default).
-    step_level = not batched_rolls
-    n_res = _A // 2 + 1 if conj_pairs else _A
-    if step_level:
-        stack_all = jnp.stack([full[a:a + m_tot, :] for a in range(_A)])
-        p_re_all, p_im_all = stage1_pair(stack_all)        # [n_res, m_tot, 128]
-        p_res = [p_re_all[:, k * adv_rows:k * adv_rows + qu, :]
-                 for k in range(tps)]
-        p_ims = [p_im_all[:, k * adv_rows:k * adv_rows + qu, :]
-                 for k in range(tps)]
-    else:
-        p_res, p_ims = [], []
-        for k in range(tps):
-            bufr = full[k * adv_rows:k * adv_rows + span_rows, :]
-            stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])
-            pr, pi = stage1_pair(stack)
-            p_res.append(pr)
-            p_ims.append(pi)
+        # Step-level stage-1: consecutive tiles' stage-1 inputs overlap (tile k
+        # reads rows [k*adv, k*adv+qu)), so ONE dot over the union span replaces
+        # tps shallow per-tile dots (the fill cost of tiny M=16 matmuls dominated)
+        # and each tile's P becomes a free major-axis slice.
+        m_tot = (tps - 1) * adv_rows + qu
+        # batched_rolls selects the legacy per-tile path so the A/B scripts
+        # compare real alternatives (step-level is the shipped default).
+        step_level = not batched_rolls
+        n_res = _A // 2 + 1 if conj_pairs else _A
+        if step_level:
+            stack_all = jnp.stack([full[a:a + m_tot, :] for a in range(_A)])
+            p_re_all, p_im_all = stage1_pair(stack_all)        # [n_res, m_tot, 128]
+            p_res = [p_re_all[:, k * adv_rows:k * adv_rows + qu, :]
+                     for k in range(tps)]
+            p_ims = [p_im_all[:, k * adv_rows:k * adv_rows + qu, :]
+                     for k in range(tps)]
+        else:
+            p_res, p_ims = [], []
+            for k in range(tps):
+                bufr = full[k * adv_rows:k * adv_rows + span_rows, :]
+                stack = jnp.stack([bufr[a:a + qu, :] for a in range(_A)])
+                pr, pi = stage1_pair(stack)
+                p_res.append(pr)
+                p_ims.append(pi)
 
-    vper = _LANE // hop
-    wper = rows // vper
-    half = 64
-    g_lane = jax.lax.broadcasted_iota(jnp.int32, (wper, _LANE), 1)
+        vper = _LANE // hop
+        wper = rows // vper
+        half = 64
+        g_lane = jax.lax.broadcasted_iota(jnp.int32, (wper, _LANE), 1)
 
-    def build_g(p2):
-        pieces = []
-        for v in range(vper):
-            cut = hop * v
-            if cut == 0:
-                pieces.append(p2[0:wper, :])
-            else:
-                rolled = pltpu.roll(p2, _LANE - cut, 1)
-                pieces.append(jnp.where(g_lane < _LANE - cut,
-                                        rolled[0:wper, :], rolled[1:wper + 1, :]))
-        return jnp.concatenate(pieces, axis=0)
-
-    # Batched variant (v4): roll/select once per v over the WHOLE per-tile
-    # [16r, qu, 128] tensor instead of once per (r, v) — 16x fewer shuffle ops
-    # for the same bytes; stage-2 then takes free major-axis slices.
-    g_lane3 = jax.lax.broadcasted_iota(jnp.int32, (_A, wper, _LANE), 2)
-
-    def build_g_all(p3):                                   # [16r, qu, 128]
-        pieces = []
-        for v in range(vper):
-            cut = hop * v
-            if cut == 0:
-                pieces.append(p3[:, 0:wper, :])
-            else:
-                rolled = pltpu.roll(p3, _LANE - cut, 2)
-                pieces.append(jnp.where(g_lane3 < _LANE - cut,
-                                        rolled[:, 0:wper, :],
-                                        rolled[:, 1:wper + 1, :]))
-        return jnp.concatenate(pieces, axis=1)             # [16r, rows, 128]
-
-    def stage2_dot(g, t_ref, r, wid=None):
-        # wid: slice the weight's lane width (conj-pair singles use only the
-        # first 128 of the padded 256 lanes — don't pay the wasted N-tile).
-        if not bf16x3:
-            t = t_ref[r] if wid is None else t_ref[r, :, :wid]
-            return jnp.dot(g, t, precision=hi,
-                           preferred_element_type=jnp.float32)
-        g_hi = g.astype(jnp.bfloat16)
-        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        t0 = t_ref[0, r] if wid is None else t_ref[0, r, :, :wid]
-        if two_pass:
-            # "medium": full-precision operand vs bf16 weights — drops the
-            # weight low-bits pass (error ~2^-9 relative, from weights only).
-            return (jnp.dot(g_hi, t0, preferred_element_type=jnp.float32)
-                    + jnp.dot(g_lo, t0, preferred_element_type=jnp.float32))
-        t1 = t_ref[1, r] if wid is None else t_ref[1, r, :, :wid]
-        return (jnp.dot(g_hi, t0, preferred_element_type=jnp.float32)
-                + jnp.dot(g_hi, t1, preferred_element_type=jnp.float32)
-                + jnp.dot(g_lo, t0, preferred_element_type=jnp.float32))
-
-    def stage2_x(g_re, g_im, gi, wid=None):
-        # cat_gk: one double-K matmul [M, 256] @ [[A];[B]] per (gi, pass)
-        # instead of two K=128 ones — same MACs, half the matmul ops, and
-        # the K-tile accumulation order keeps the association (re taps then
-        # im taps) so results match the two-matmul form to ~1 ulp.
-        if cat_gk:
-            g = jnp.concatenate([g_re, g_im], axis=1)
-            return stage2_dot(g, t2a_ref, gi, wid)
-        return (stage2_dot(g_re, t2a_ref, gi, wid)
-                + stage2_dot(g_im, t2b_ref, gi, wid))
-
-    if batched_rolls:
-        g_all_re = [build_g_all(p_res[k]) for k in range(tps)]
-        g_all_im = [build_g_all(p_ims[k]) for k in range(tps)]
-
-    if step_level:
-        # Step-level rolls: roll/select ONCE per v over the whole step's
-        # stage-1 output (128x fewer shuffle ops for the same bytes); every
-        # G piece below is then a pure major-axis slice.
-        m1 = m_tot - 1
-        sl_lane = jax.lax.broadcasted_iota(jnp.int32, (n_res, m1, _LANE), 2)
-
-        def sel_all(p3):                                   # [n_res, m_tot, 128]
-            out = []
+        def build_g(p2):
+            pieces = []
             for v in range(vper):
                 cut = hop * v
                 if cut == 0:
-                    # v=0 needs no roll/select: keep the FULL m_tot rows.
-                    # The m1-row truncation below exists only because rolled
-                    # pieces read rows q and q+1; when hop == 128 (vper == 1,
-                    # qu == adv) the last tile needs row m_tot-1, which the
-                    # truncated form would clamp away.
-                    out.append(p3)
+                    pieces.append(p2[0:wper, :])
+                else:
+                    rolled = pltpu.roll(p2, _LANE - cut, 1)
+                    pieces.append(jnp.where(g_lane < _LANE - cut,
+                                            rolled[0:wper, :], rolled[1:wper + 1, :]))
+            return jnp.concatenate(pieces, axis=0)
+
+        # Batched variant (v4): roll/select once per v over the WHOLE per-tile
+        # [16r, qu, 128] tensor instead of once per (r, v) — 16x fewer shuffle ops
+        # for the same bytes; stage-2 then takes free major-axis slices.
+        g_lane3 = jax.lax.broadcasted_iota(jnp.int32, (_A, wper, _LANE), 2)
+
+        def build_g_all(p3):                                   # [16r, qu, 128]
+            pieces = []
+            for v in range(vper):
+                cut = hop * v
+                if cut == 0:
+                    pieces.append(p3[:, 0:wper, :])
                 else:
                     rolled = pltpu.roll(p3, _LANE - cut, 2)
-                    out.append(jnp.where(sl_lane < _LANE - cut,
-                                         rolled[:, 0:m1, :],
-                                         rolled[:, 1:m_tot, :]))
-            return out
+                    pieces.append(jnp.where(g_lane3 < _LANE - cut,
+                                            rolled[:, 0:wper, :],
+                                            rolled[:, 1:wper + 1, :]))
+            return jnp.concatenate(pieces, axis=1)             # [16r, rows, 128]
 
-        sel_re = sel_all(p_re_all)
-        sel_im = sel_all(p_im_all)
-        if vmaj:
-            # v-major M layout: for a fixed roll phase v the G rows of ALL
-            # tiles are contiguous in sel[v] (tile k reads rows
-            # [k*wper, k*wper + wper) and adv_rows == wper), so ONE
-            # 16-piece concat shared by every residue replaces the per-
-            # residue 128-piece (v, k) assembly below; each residue's G is
-            # then a free major-axis slice.  The M ordering becomes
-            # p = v*(tps*wper) + k*wper + w and is restored to per-tile
-            # (v, w) order by re-slicing the narrow [M, bands] tensor
-            # after the band projection (tile_acc below).
-            mrows = tps * wper
-            g_cat_re = jnp.concatenate(
-                [sel_re[v][:, 0:mrows, :] for v in range(vper)], axis=1)
-            g_cat_im = jnp.concatenate(
-                [sel_im[v][:, 0:mrows, :] for v in range(vper)], axis=1)
-
-    # Width from the projection constants (out_ref may be the fused-select
-    # cls output, whose lanes are not the band axis).
-    rows_acc = jnp.zeros((tps * rows, proj_ref.shape[-1]), jnp.float32)
-    v_by_r = {}
-
-    def emit(r, v):
-        nonlocal rows_acc
-        v = jnp.where(jnp.isfinite(v), v, 0.0)
-        if proj_concat:
-            # Defer: one deep [M, 16*64] @ [16*64, bands] matmul after the
-            # loop (8 full-depth K-tiles) instead of 16 shallow K=64 ones.
-            v_by_r[r] = v
-            return
-        if aux3:
-            vh, vl = split3(v)
-            contrib = (jnp.dot(vh, proj_ref[0, r], preferred_element_type=jnp.float32)
-                       + jnp.dot(vl, proj_ref[0, r], preferred_element_type=jnp.float32))
-            if not aux2:
-                contrib = contrib + jnp.dot(vh, proj_ref[1, r],
-                                            preferred_element_type=jnp.float32)
-        else:
-            contrib = jnp.dot(v, proj_ref[r], precision=hi,
-                              preferred_element_type=jnp.float32)
-        rows_acc = rows_acc + contrib
-
-    for gi in range(n_res):
-        if vmaj:
-            g_re = g_cat_re[gi]
-            g_im = g_cat_im[gi]
-        elif step_level:
-            g_re = jnp.concatenate(
-                [sel_re[v][gi, k * adv_rows:k * adv_rows + wper, :]
-                 for k in range(tps) for v in range(vper)], axis=0)
-            g_im = jnp.concatenate(
-                [sel_im[v][gi, k * adv_rows:k * adv_rows + wper, :]
-                 for k in range(tps) for v in range(vper)], axis=0)
-        elif batched_rolls:
-            g_re = jnp.concatenate([g_all_re[k][gi] for k in range(tps)], axis=0)
-            g_im = jnp.concatenate([g_all_im[k][gi] for k in range(tps)], axis=0)
-        else:
-            g_re = jnp.concatenate([build_g(p_res[k][gi]) for k in range(tps)], axis=0)
-            g_im = jnp.concatenate([build_g(p_ims[k][gi]) for k in range(tps)], axis=0)
-        if dense_pairs:
-            # Dense lane packing (no per-residue 64-lane granule padding):
-            # pair residues carry [re_r | im_r | re_rc | im_rc] at k_max
-            # stride in 192 lanes (singles the first 2*k_max of 128).  Q5
-            # and the square are position-independent, and the deep
-            # projection matmul's precomputed rows pair each bin's re- and
-            # im-lane — so the kernel never slices the x lanes at all and
-            # stage-2 N drops from 2048 to 1600 lanes per window.
-            wid = _LANE if gi in (0, _A // 2) else t2a_ref.shape[-1]
-            x = stage2_x(g_re, g_im, gi, wid)
-            x = jnp.where(x > 0.0, x * inv_div, x)
-            v = x * x
-            v_by_r[gi] = jnp.where(jnp.isfinite(v), v, 0.0)
-        elif conj_pairs and 0 < gi < _A // 2:
-            # Conjugate pair (gi, 16-gi): G_{16-r} = conj(G_r) for real
-            # input, so one G feeds both residues' stage-2 through paired
-            # weights [A_r | A_rc] / [B_r | -B_rc] (weights built in the
-            # wrapper); x lanes [0:128) are residue gi, [128:256) are 16-gi.
-            x = stage2_x(g_re, g_im, gi)
-            x = jnp.where(x > 0.0, x * inv_div, x)
-            emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
-            emit(_A - gi, x[:, _LANE:_LANE + half] ** 2 + x[:, _LANE + half:] ** 2)
-        else:
-            wid = _LANE if conj_pairs else None   # singles: first 128 lanes
-            x = stage2_x(g_re, g_im, gi, wid)
-            x = jnp.where(x > 0.0, x * inv_div, x)
-            emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
-    if proj_concat:
-        v_cat = jnp.concatenate([v_by_r[r] for r in sorted(v_by_r)], axis=1)
-        if aux3:
-            vh, vl = split3(v_cat)
-            rows_acc = (jnp.dot(vh, proj_ref[0], preferred_element_type=jnp.float32)
-                        + jnp.dot(vl, proj_ref[0], preferred_element_type=jnp.float32))
-            if not aux2:
-                rows_acc = rows_acc + jnp.dot(vh, proj_ref[1],
-                                              preferred_element_type=jnp.float32)
-        else:
-            rows_acc = jnp.dot(v_cat, proj_ref[:], precision=hi,
+        def stage2_dot(g, t_ref, r, wid=None):
+            # wid: slice the weight's lane width (conj-pair singles use only the
+            # first 128 of the padded 256 lanes — don't pay the wasted N-tile).
+            if not bf16x3:
+                t = t_ref[r] if wid is None else t_ref[r, :, :wid]
+                return jnp.dot(g, t, precision=hi,
                                preferred_element_type=jnp.float32)
+            g_hi = g.astype(jnp.bfloat16)
+            g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            t0 = t_ref[0, r] if wid is None else t_ref[0, r, :, :wid]
+            if two_pass:
+                # "medium": full-precision operand vs bf16 weights — drops the
+                # weight low-bits pass (error ~2^-9 relative, from weights only).
+                return (jnp.dot(g_hi, t0, preferred_element_type=jnp.float32)
+                        + jnp.dot(g_lo, t0, preferred_element_type=jnp.float32))
+            t1 = t_ref[1, r] if wid is None else t_ref[1, r, :, :wid]
+            return (jnp.dot(g_hi, t0, preferred_element_type=jnp.float32)
+                    + jnp.dot(g_hi, t1, preferred_element_type=jnp.float32)
+                    + jnp.dot(g_lo, t0, preferred_element_type=jnp.float32))
 
-    if vmaj:
-        # Restore per-tile (v, w) row order by re-slicing the NARROW
-        # post-projection tensor: tile k's v-piece sits at rows
-        # [v*tps*wper + k*wper, +wper).  Same piece count as the shipped
-        # G assembly but on [.., bands] f32 once per step instead of on
-        # two [.., 128] planes per residue — ~72x less copied bytes.
-        # Values are identical to the shipped layout (M-order permutes
-        # rows of independent dot products), so everything downstream is
-        # bit-exact.
-        mrows = tps * wper
+        def stage2_x(g_re, g_im, gi, wid=None):
+            # cat_gk: one double-K matmul [M, 256] @ [[A];[B]] per (gi, pass)
+            # instead of two K=128 ones — same MACs, half the matmul ops, and
+            # the K-tile accumulation order keeps the association (re taps then
+            # im taps) so results match the two-matmul form to ~1 ulp.
+            if cat_gk:
+                g = jnp.concatenate([g_re, g_im], axis=1)
+                return stage2_dot(g, t2a_ref, gi, wid)
+            return (stage2_dot(g_re, t2a_ref, gi, wid)
+                    + stage2_dot(g_im, t2b_ref, gi, wid))
 
-        def tile_acc(k):
-            return jnp.concatenate(
-                [rows_acc[v * mrows + k * wper:v * mrows + (k + 1) * wper]
-                 for v in range(vper)], axis=0)
-    else:
-        def tile_acc(k):
-            return rows_acc[k * rows:(k + 1) * rows]
+        if batched_rolls:
+            g_all_re = [build_g_all(p_res[k]) for k in range(tps)]
+            g_all_im = [build_g_all(p_ims[k]) for k in range(tps)]
 
-    # Un-permutation (x Haar row pass) applied per tile: the step-wide matrix
-    # is block-diagonal with tps identical [rows, rows] blocks, so per-tile
-    # matmuls do tps-x fewer MACs for identical results.
-    def unperm(acc_k):
-        if aux3:
-            ah, al = split3(acc_k)
-            out_k = (jnp.dot(perm_ref[0], ah, preferred_element_type=jnp.float32)
-                     + jnp.dot(perm_ref[0], al, preferred_element_type=jnp.float32))
-            if not two_pass:
-                out_k = out_k + jnp.dot(perm_ref[1], ah,
-                                        preferred_element_type=jnp.float32)
-            return out_k
-        return jnp.dot(perm_ref[:], acc_k, precision=hi,
-                       preferred_element_type=jnp.float32)
+        if step_level:
+            # Step-level rolls: roll/select ONCE per v over the whole step's
+            # stage-1 output (128x fewer shuffle ops for the same bytes); every
+            # G piece below is then a pure major-axis slice.
+            m1 = m_tot - 1
+            sl_lane = jax.lax.broadcasted_iota(jnp.int32, (n_res, m1, _LANE), 2)
 
-    out = jnp.concatenate([unperm(tile_acc(k)) for k in range(tps)], axis=0)
-    if fuse_haar:
-        if aux3:
-            oh, ol = split3(out)
-            out = (jnp.dot(oh, hcols_ref[0], preferred_element_type=jnp.float32)
-                   + jnp.dot(ol, hcols_ref[0], preferred_element_type=jnp.float32))
-            if not two_pass:
-                out = out + jnp.dot(oh, hcols_ref[1],
-                                    preferred_element_type=jnp.float32)
+            def sel_all(p3):                                   # [n_res, m_tot, 128]
+                out = []
+                for v in range(vper):
+                    cut = hop * v
+                    if cut == 0:
+                        # v=0 needs no roll/select: keep the FULL m_tot rows.
+                        # The m1-row truncation below exists only because rolled
+                        # pieces read rows q and q+1; when hop == 128 (vper == 1,
+                        # qu == adv) the last tile needs row m_tot-1, which the
+                        # truncated form would clamp away.
+                        out.append(p3)
+                    else:
+                        rolled = pltpu.roll(p3, _LANE - cut, 2)
+                        out.append(jnp.where(sl_lane < _LANE - cut,
+                                             rolled[:, 0:m1, :],
+                                             rolled[:, 1:m_tot, :]))
+                return out
+
+            sel_re = sel_all(p_re_all)
+            sel_im = sel_all(p_im_all)
+            if vmaj:
+                # v-major M layout: for a fixed roll phase v the G rows of ALL
+                # tiles are contiguous in sel[v] (tile k reads rows
+                # [k*wper, k*wper + wper) and adv_rows == wper), so ONE
+                # 16-piece concat shared by every residue replaces the per-
+                # residue 128-piece (v, k) assembly below; each residue's G is
+                # then a free major-axis slice.  The M ordering becomes
+                # p = v*(tps*wper) + k*wper + w and is restored to per-tile
+                # (v, w) order by re-slicing the narrow [M, bands] tensor
+                # after the band projection (tile_acc below).
+                mrows = tps * wper
+                g_cat_re = jnp.concatenate(
+                    [sel_re[v][:, 0:mrows, :] for v in range(vper)], axis=1)
+                g_cat_im = jnp.concatenate(
+                    [sel_im[v][:, 0:mrows, :] for v in range(vper)], axis=1)
+
+        # Width from the projection constants (out_ref may be the fused-select
+        # cls output, whose lanes are not the band axis).
+        rows_acc = jnp.zeros((tps * rows, proj_ref.shape[-1]), jnp.float32)
+        v_by_r = {}
+
+        def emit(r, v):
+            nonlocal rows_acc
+            v = jnp.where(jnp.isfinite(v), v, 0.0)
+            if proj_concat:
+                # Defer: one deep [M, 16*64] @ [16*64, bands] matmul after the
+                # loop (8 full-depth K-tiles) instead of 16 shallow K=64 ones.
+                v_by_r[r] = v
+                return
+            if aux3:
+                vh, vl = split3(v)
+                contrib = (jnp.dot(vh, proj_ref[0, r], preferred_element_type=jnp.float32)
+                           + jnp.dot(vl, proj_ref[0, r], preferred_element_type=jnp.float32))
+                if not aux2:
+                    contrib = contrib + jnp.dot(vh, proj_ref[1, r],
+                                                preferred_element_type=jnp.float32)
+            else:
+                contrib = jnp.dot(v, proj_ref[r], precision=hi,
+                                  preferred_element_type=jnp.float32)
+            rows_acc = rows_acc + contrib
+
+        for gi in range(n_res):
+            if vmaj:
+                g_re = g_cat_re[gi]
+                g_im = g_cat_im[gi]
+            elif step_level:
+                g_re = jnp.concatenate(
+                    [sel_re[v][gi, k * adv_rows:k * adv_rows + wper, :]
+                     for k in range(tps) for v in range(vper)], axis=0)
+                g_im = jnp.concatenate(
+                    [sel_im[v][gi, k * adv_rows:k * adv_rows + wper, :]
+                     for k in range(tps) for v in range(vper)], axis=0)
+            elif batched_rolls:
+                g_re = jnp.concatenate([g_all_re[k][gi] for k in range(tps)], axis=0)
+                g_im = jnp.concatenate([g_all_im[k][gi] for k in range(tps)], axis=0)
+            else:
+                g_re = jnp.concatenate([build_g(p_res[k][gi]) for k in range(tps)], axis=0)
+                g_im = jnp.concatenate([build_g(p_ims[k][gi]) for k in range(tps)], axis=0)
+            if dense_pairs:
+                # Dense lane packing (no per-residue 64-lane granule padding):
+                # pair residues carry [re_r | im_r | re_rc | im_rc] at k_max
+                # stride in 192 lanes (singles the first 2*k_max of 128).  Q5
+                # and the square are position-independent, and the deep
+                # projection matmul's precomputed rows pair each bin's re- and
+                # im-lane — so the kernel never slices the x lanes at all and
+                # stage-2 N drops from 2048 to 1600 lanes per window.
+                wid = _LANE if gi in (0, _A // 2) else t2a_ref.shape[-1]
+                x = stage2_x(g_re, g_im, gi, wid)
+                x = jnp.where(x > 0.0, x * inv_div, x)
+                v = x * x
+                v_by_r[gi] = jnp.where(jnp.isfinite(v), v, 0.0)
+            elif conj_pairs and 0 < gi < _A // 2:
+                # Conjugate pair (gi, 16-gi): G_{16-r} = conj(G_r) for real
+                # input, so one G feeds both residues' stage-2 through paired
+                # weights [A_r | A_rc] / [B_r | -B_rc] (weights built in the
+                # wrapper); x lanes [0:128) are residue gi, [128:256) are 16-gi.
+                x = stage2_x(g_re, g_im, gi)
+                x = jnp.where(x > 0.0, x * inv_div, x)
+                emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
+                emit(_A - gi, x[:, _LANE:_LANE + half] ** 2 + x[:, _LANE + half:] ** 2)
+            else:
+                wid = _LANE if conj_pairs else None   # singles: first 128 lanes
+                x = stage2_x(g_re, g_im, gi, wid)
+                x = jnp.where(x > 0.0, x * inv_div, x)
+                emit(gi, x[:, :half] ** 2 + x[:, half:_LANE] ** 2)
+        if proj_concat:
+            v_cat = jnp.concatenate([v_by_r[r] for r in sorted(v_by_r)], axis=1)
+            if aux3:
+                vh, vl = split3(v_cat)
+                rows_acc = (jnp.dot(vh, proj_ref[0], preferred_element_type=jnp.float32)
+                            + jnp.dot(vl, proj_ref[0], preferred_element_type=jnp.float32))
+                if not aux2:
+                    rows_acc = rows_acc + jnp.dot(vh, proj_ref[1],
+                                                  preferred_element_type=jnp.float32)
+            else:
+                rows_acc = jnp.dot(v_cat, proj_ref[:], precision=hi,
+                                   preferred_element_type=jnp.float32)
+
+        if vmaj:
+            # Restore per-tile (v, w) row order by re-slicing the NARROW
+            # post-projection tensor: tile k's v-piece sits at rows
+            # [v*tps*wper + k*wper, +wper).  Same piece count as the shipped
+            # G assembly but on [.., bands] f32 once per step instead of on
+            # two [.., 128] planes per residue — ~72x less copied bytes.
+            # Values are identical to the shipped layout (M-order permutes
+            # rows of independent dot products), so everything downstream is
+            # bit-exact.
+            mrows = tps * wper
+
+            def tile_acc(k):
+                return jnp.concatenate(
+                    [rows_acc[v * mrows + k * wper:v * mrows + (k + 1) * wper]
+                     for v in range(vper)], axis=0)
         else:
-            out = jnp.dot(out, hcols_ref[:], precision=hi,
-                          preferred_element_type=jnp.float32)
-    if pipe_select:
-        # Stash this step's frames for the NEXT step's (overlapped) select;
-        # the tail output carries each batch item's final step (revolving
-        # same-block writes: the last one survives) so the wrapper can select
-        # it outside the kernel — the lagged index map never emits it.
-        t_frames = jnp.concatenate(
-            [jnp.transpose(out[k * rows:(k + 1) * rows, :], (1, 0))
-             for k in range(tps)], axis=0)              # [tps*32, 128]
-        sel_scr[:] = t_frames
-        tail_ref[0] = t_frames
-        return
-    if fuse_select:
-        # In-kernel top-k sign selection: transpose each frame's [128, 32]
-        # Haar tile to the select layout ([32 bands, 128 rows] = band-major,
-        # handled by _select_body's flat-index formula) and emit rank-ordered
-        # class codes directly — the coefficient tensor never leaves VMEM.
-        from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
+            def tile_acc(k):
+                return rows_acc[k * rows:(k + 1) * rows]
 
-        t_frames = jnp.concatenate(
-            [jnp.transpose(out[k * rows:(k + 1) * rows, :], (1, 0))
-             for k in range(tps)], axis=0)              # [tps*32, 128]
-        out_ref[0] = _select_body(t_frames, tps, band_major=True)
-        return
-    out_ref[0] = out
+        # Un-permutation (x Haar row pass) applied per tile: the step-wide matrix
+        # is block-diagonal with tps identical [rows, rows] blocks, so per-tile
+        # matmuls do tps-x fewer MACs for identical results.
+        def unperm(acc_k):
+            if aux3:
+                ah, al = split3(acc_k)
+                out_k = (jnp.dot(perm_ref[0], ah, preferred_element_type=jnp.float32)
+                         + jnp.dot(perm_ref[0], al, preferred_element_type=jnp.float32))
+                if not two_pass:
+                    out_k = out_k + jnp.dot(perm_ref[1], ah,
+                                            preferred_element_type=jnp.float32)
+                return out_k
+            return jnp.dot(perm_ref[:], acc_k, precision=hi,
+                           preferred_element_type=jnp.float32)
+
+        out = jnp.concatenate([unperm(tile_acc(k)) for k in range(tps)], axis=0)
+        if fuse_haar:
+            if aux3:
+                oh, ol = split3(out)
+                out = (jnp.dot(oh, hcols_ref[0], preferred_element_type=jnp.float32)
+                       + jnp.dot(ol, hcols_ref[0], preferred_element_type=jnp.float32))
+                if not two_pass:
+                    out = out + jnp.dot(oh, hcols_ref[1],
+                                        preferred_element_type=jnp.float32)
+            else:
+                out = jnp.dot(out, hcols_ref[:], precision=hi,
+                              preferred_element_type=jnp.float32)
+        if pipe_select:
+            # Stash this step's frames for the NEXT step's (overlapped) select;
+            # the tail output carries each batch item's final step (revolving
+            # same-block writes: the last one survives) so the wrapper can select
+            # it outside the kernel — the lagged index map never emits it.
+            t_frames = jnp.concatenate(
+                [jnp.transpose(out[k * rows:(k + 1) * rows, :], (1, 0))
+                 for k in range(tps)], axis=0)              # [tps*32, 128]
+            sel_scr[:] = t_frames
+            if not lag_t:
+                tail_ref[0] = t_frames
+            return
+        if fuse_select:
+            # In-kernel top-k sign selection: transpose each frame's [128, 32]
+            # Haar tile to the select layout ([32 bands, 128 rows] = band-major,
+            # handled by _select_body's flat-index formula) and emit rank-ordered
+            # class codes directly — the coefficient tensor never leaves VMEM.
+            from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
+
+            t_frames = jnp.concatenate(
+                [jnp.transpose(out[k * rows:(k + 1) * rows, :], (1, 0))
+                 for k in range(tps)], axis=0)              # [tps*32, 128]
+            out_ref[0] = _select_body(t_frames, tps, band_major=True)
+            return
+        out_ref[0] = out
+
+    if pipe_select and lag_t:
+        # Extra final grid step is select-only: skip the matmuls.
+        pl.when(pl.program_id(1) < n_steps)(_main)
+    else:
+        _main()
 
 
 def v3_tiles_per_step(n_tiles: int) -> int:
@@ -834,13 +857,15 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
             raise ValueError("pipe_select requires fuse_haar with the "
                              "128-row / 32-band frame geometry")
         if lag_t:
-            cls_spec = pl.BlockSpec((1, tps, _LANE),
-                                    lambda b, t: (b, jnp.maximum(t - 1, 0), 0),
-                                    memory_space=pltpu.VMEM)
-            tail_spec = pl.BlockSpec((1, tps * 32, _LANE),
-                                     lambda b, t: (b, 0, 0),
+            # Lagged: step t emits the select of step t-1's frames; the
+            # grid runs one EXTRA (select-only) step per clip, so every
+            # block 0..n_steps-1 is written and no tail stitch is needed
+            # (the t=0 write is pl.when-gated off in the kernel).
+            out_specs = pl.BlockSpec((1, tps, _LANE),
+                                     lambda b, t: (b, jnp.maximum(t - 1, 0), 0),
                                      memory_space=pltpu.VMEM)
-            tail_shape = (batch, tps * 32, _LANE)
+            out_shape = jax.ShapeDtypeStruct((batch, n_tiles, _LANE),
+                                             jnp.int32)
         else:
             cls_spec = pl.BlockSpec((1, tps, _LANE),
                                     lambda b, t: (jnp.maximum(b - 1, 0), t, 0),
@@ -849,19 +874,19 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                                      lambda b, t: (0, 0, 0),
                                      memory_space=pltpu.VMEM)
             tail_shape = (1, tps * 32, _LANE)
-        out_specs = [
-            # Lagged: each step emits the select of the PREVIOUS step's
-            # frames; the first write lands in block 0 and is overwritten
-            # by its successor before the revolving window flushes (same
-            # block index).
-            cls_spec,
-            # Final-step frames (last write wins).
-            tail_spec,
-        ]
-        out_shape = [
-            jax.ShapeDtypeStruct((batch, n_tiles, _LANE), jnp.int32),
-            jax.ShapeDtypeStruct(tail_shape, jnp.float32),
-        ]
+            out_specs = [
+                # Lagged along the batch axis: clip b's select runs under
+                # clip b+1's matmuls; the first write lands in block 0 and
+                # is overwritten by its successor before the revolving
+                # window flushes (same block index).
+                cls_spec,
+                # Final-clip frames (last write wins).
+                tail_spec,
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((batch, n_tiles, _LANE), jnp.int32),
+                jax.ShapeDtypeStruct(tail_shape, jnp.float32),
+            ]
         scratch_shapes = [pltpu.VMEM((tps * 32, _LANE), jnp.float32)]
     elif fuse_select:
         if not fuse_haar or rpf != 128 or bands != 32:
@@ -875,7 +900,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((batch, n_rows, bands), jnp.float32)
     grid_spec = pl.GridSpec(
-        grid=(batch, n_steps),
+        grid=(batch, n_steps + 1 if (pipe_select and lag_t) else n_steps),
         in_specs=[blk_spec(k) for k in range(n_blk)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=out_specs,
@@ -891,7 +916,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      two_pass=two_pass, fuse_select=fuse_select,
                      dense_pairs=dense,
                      aux2=(two_pass or aux_two_pass) and not interpret,
-                     cat_gk=cat, vmaj=vmaj_on, pipe_select=pipe_select)
+                     cat_gk=cat, vmaj=vmaj_on, pipe_select=pipe_select,
+                     lag_t=lag_t, n_steps=n_steps)
     cost = None
     if cost_hint:
         # Scheduler hint (pl.CostEstimate): stage-2 dominates at ~524K MACs
@@ -921,10 +947,13 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
       jnp.asarray(perm), jnp.asarray(h_cols_t))
     if not pipe_select:
         return out
-    # Select the final step's frames (never emitted by the lagged map) in a
-    # small standalone kernel — 1/total-steps of the select work; the rest
-    # ran overlapped with the matmuls — and stitch it over the unwritten
-    # last block.
+    if lag_t:
+        # The extra select-only grid step emitted every block: done.
+        return out
+    # Batch lag: select the final clip's frames (never emitted by the lagged
+    # map) in a small standalone kernel — 1/batch of the select work; the
+    # rest ran overlapped with the matmuls — and stitch it over the
+    # unwritten last block.
     cls, tail = out
     from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
 

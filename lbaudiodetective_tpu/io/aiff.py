@@ -17,6 +17,7 @@ import struct
 import numpy as np
 
 from lbaudiodetective_tpu.errors import DecodeError, UnsupportedFormatError
+from lbaudiodetective_tpu.io.pcm import downmix_mean, pcm24_to_float, whole
 
 
 def _read_extended80(b: bytes) -> float:
@@ -83,11 +84,6 @@ def read_aiff(path: str) -> tuple[np.ndarray, float]:
     if channels < 1 or not (0 < rate < 1e7):     # rejects 0/negative/nan/inf
         raise DecodeError("invalid AIFF COMM parameters")
 
-    def whole(data: bytes, width: int) -> bytes:
-        """Trim to whole samples: a truncated file (tolerated above) must
-        not make np.frombuffer raise on a ragged tail byte."""
-        return data[: (len(data) // width) * width]
-
     if comp in (b"NONE", b"sowt"):
         endian = "<" if comp == b"sowt" else ">"
         if bits == 8:                      # AIFF 8-bit PCM is SIGNED
@@ -96,14 +92,7 @@ def read_aiff(path: str) -> tuple[np.ndarray, float]:
             x = np.frombuffer(whole(ssnd, 2), endian + "i2"
                               ).astype(np.float32) / 32768.0
         elif bits == 24:
-            b = np.frombuffer(ssnd, np.uint8)
-            b = b[: (len(b) // 3) * 3].reshape(-1, 3)
-            lo, mid, hi = ((0, 1, 2) if comp == b"sowt" else (2, 1, 0))
-            vals = (b[:, lo].astype(np.int32)
-                    | (b[:, mid].astype(np.int32) << 8)
-                    | (b[:, hi].astype(np.int32) << 16))
-            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-            x = vals.astype(np.float32) / float(1 << 23)
+            x = pcm24_to_float(ssnd, little=(comp == b"sowt"))
         elif bits == 32:
             x = np.frombuffer(whole(ssnd, 4), endian + "i4"
                               ).astype(np.float32) / 2147483648.0
@@ -120,8 +109,7 @@ def read_aiff(path: str) -> tuple[np.ndarray, float]:
         raise UnsupportedFormatError(
             f"unsupported AIFF-C compression type {comp!r}")
 
-    if channels > 1:
-        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+    x = downmix_mean(x, channels)
     if frames and len(x) > frames:         # COMM frame count wins over slack
         x = x[:frames]
     return np.ascontiguousarray(x, np.float32), float(rate)

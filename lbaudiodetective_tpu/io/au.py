@@ -17,6 +17,7 @@ import struct
 import numpy as np
 
 from lbaudiodetective_tpu.errors import DecodeError, UnsupportedFormatError
+from lbaudiodetective_tpu.io.pcm import downmix_mean, pcm24_to_float, whole
 
 _MAGIC = b".snd"
 _UNKNOWN_SIZE = 0xFFFFFFFF
@@ -38,11 +39,6 @@ def read_au(path: str) -> tuple[np.ndarray, float]:
     if data_size != _UNKNOWN_SIZE:
         data = data[:data_size]            # tolerate trailing slack
 
-    def whole(b: bytes, width: int) -> bytes:
-        """Trim to whole samples so a truncated tail byte cannot make
-        np.frombuffer raise (same tolerance as the AIFF/WAV readers)."""
-        return b[: (len(b) // width) * width]
-
     if enc == 1:
         from lbaudiodetective_tpu.io.g711 import decode_mulaw
 
@@ -56,13 +52,7 @@ def read_au(path: str) -> tuple[np.ndarray, float]:
     elif enc == 3:
         x = np.frombuffer(whole(data, 2), ">i2").astype(np.float32) / 32768.0
     elif enc == 4:
-        b = np.frombuffer(data, np.uint8)
-        b = b[: (len(b) // 3) * 3].reshape(-1, 3)
-        vals = (b[:, 2].astype(np.int32)
-                | (b[:, 1].astype(np.int32) << 8)
-                | (b[:, 0].astype(np.int32) << 16))
-        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-        x = vals.astype(np.float32) / float(1 << 23)
+        x = pcm24_to_float(data, little=False)
     elif enc == 5:
         x = np.frombuffer(whole(data, 4), ">i4"
                           ).astype(np.float32) / 2147483648.0
@@ -73,9 +63,7 @@ def read_au(path: str) -> tuple[np.ndarray, float]:
     else:
         raise UnsupportedFormatError(f"unsupported AU encoding {enc}")
 
-    if channels > 1:
-        x = x[: (len(x) // channels) * channels].reshape(-1, channels
-                                                         ).mean(axis=1)
+    x = downmix_mean(x, channels)
     return np.ascontiguousarray(x, np.float32), float(rate)
 
 

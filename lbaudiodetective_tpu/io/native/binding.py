@@ -27,8 +27,15 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _SO.exists():
-            subprocess.run(["make", "-C", str(_DIR)], check=True,
+        # A prebuilt .so from an older source tree may predate symbols the
+        # binding now requires; detecting that AFTER CDLL would be too late
+        # (dlopen caches by path), so check the export strings on disk and
+        # force a rebuild.  make -B is a no-op risk only when the toolchain
+        # is absent — and then a stale library could not be fixed anyway.
+        stale = (_SO.exists()
+                 and b"lbad_read_audio" not in _SO.read_bytes())
+        if stale or not _SO.exists():
+            subprocess.run(["make", "-B", "-C", str(_DIR)], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(str(_SO))
         lib.lbad_read_caf.restype = ctypes.c_int

@@ -16,6 +16,7 @@ import struct
 import numpy as np
 
 from lbaudiodetective_tpu.errors import DecodeError, UnsupportedFormatError
+from lbaudiodetective_tpu.io.pcm import downmix_mean, pcm24_to_float, whole
 
 
 def decode_ima_adpcm_mono(data: bytes, block_align: int,
@@ -113,22 +114,11 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
             raise UnsupportedFormatError(
                 f"unsupported WAVE_FORMAT_EXTENSIBLE SubFormat {audio_format}")
 
-    def whole(d: bytes, width: int) -> bytes:
-        """Trim to whole samples (truncated files are tolerated above; a
-        ragged tail byte must not make np.frombuffer raise)."""
-        return d[: (len(d) // width) * width]
-
     if audio_format == 1:  # integer PCM
         if bits == 16:
             x = np.frombuffer(whole(data, 2), "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
-            b = np.frombuffer(data, np.uint8)
-            b = b[: (len(b) // 3) * 3].reshape(-1, 3)
-            vals = (b[:, 0].astype(np.int32)
-                    | (b[:, 1].astype(np.int32) << 8)
-                    | (b[:, 2].astype(np.int32) << 16))
-            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-            x = vals.astype(np.float32) / float(1 << 23)
+            x = pcm24_to_float(data, little=True)
         elif bits == 32:
             x = np.frombuffer(whole(data, 4), "<i4").astype(np.float32) / 2147483648.0
         else:
@@ -153,8 +143,7 @@ def read_wav(path: str) -> tuple[np.ndarray, float]:
     else:
         raise UnsupportedFormatError(f"unsupported WAV format code {audio_format}")
 
-    if channels > 1:
-        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+    x = downmix_mean(x, channels)
     return np.ascontiguousarray(x, np.float32), float(sample_rate)
 
 

@@ -979,8 +979,5 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tail)
-    if lag_t:
-        return jax.lax.dynamic_update_slice(cls, tail_cls,
-                                            (0, n_tiles - tps, 0))
     # Batch lag: the unwritten block is the LAST batch item's (single) step.
     return jax.lax.dynamic_update_slice(cls, tail_cls, (batch - 1, 0, 0))

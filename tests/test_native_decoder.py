@@ -146,6 +146,38 @@ def test_native_read_audio_stereo_close_to_numpy(tmp_path):
                                atol=1e-7)
 
 
+def test_stale_prebuilt_so_triggers_rebuild(tmp_path, monkeypatch):
+    """A prebuilt .so missing newer exports must be rebuilt, not silently
+    disable the whole native path (the blanket except in _load would turn
+    the AttributeError into available() == False forever)."""
+    import pathlib
+    import shutil
+
+    from lbaudiodetective_tpu.io.au import write_au
+    from lbaudiodetective_tpu.io.native import binding as b
+
+    src = pathlib.Path(b.__file__).resolve().parent
+    work = tmp_path / "native"
+    shutil.copytree(src, work,
+                    ignore=shutil.ignore_patterns("build", "__pycache__"))
+    (work / "build").mkdir()
+    # A "stale" library: valid ELF bytes whose export strings lack the new
+    # symbol (mangle the name in place, same length).
+    blob = (src / "build" / "libcaf_decoder.so").read_bytes()
+    assert b"lbad_read_audio" in blob
+    (work / "build" / "libcaf_decoder.so").write_bytes(
+        blob.replace(b"lbad_read_audio", b"lbad_read_zzzzz"))
+    monkeypatch.setattr(b, "_SO", work / "build" / "libcaf_decoder.so")
+    monkeypatch.setattr(b, "_DIR", work)
+    monkeypatch.setattr(b, "_lib", None)
+    monkeypatch.setattr(b, "_tried", False)
+    assert b.available()                   # detected stale, rebuilt via make
+    p = str(tmp_path / "t.au")
+    write_au(p, _tone(64), 8000.0)
+    y, rate = b.read_audio(p)
+    assert rate == 8000.0 and y.shape == (64,)
+
+
 def test_native_read_audio_falls_back_for_adpcm(tmp_path):
     """IMA-ADPCM WAV is NumPy-only: native raises, decode_audio_file still
     decodes it (fallback path)."""

@@ -59,6 +59,27 @@ def test_sharded_search_equals_single_device(mesh):
     assert gs.shape == (2, 4)
 
 
+def test_search_zero_score_query_never_returns_padding(mesh):
+    """Worst case for the +pad candidate over-ask: an all-zero (silence)
+    query scores 0 against every entry, so padded entries (also 0) tie with
+    real ones in each shard's top-k.  The over-ask must still leave >=
+    top_k REAL candidates after filtering — indices < L, full shapes, no
+    broadcast error in search_many."""
+    rng = np.random.default_rng(85)
+    fps = _fps(rng, [6, 9, 5, 7, 8, 4, 10])             # 7 entries over 4 shards
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+    pairs = fps[0].pairs
+    zero_q = Fingerprint.from_planes(np.zeros((5, pairs), np.uint8),
+                                     np.zeros((5, pairs), np.uint8),
+                                     2 * pairs)
+    idx, sc = slib.search(zero_q, top_k=5)
+    assert idx.shape == (5,) and (idx < 7).all() and (sc == 0.0).all()
+    bi, bs = slib.search_many([zero_q, fps[1], zero_q], top_k=5)
+    assert bi.shape == (3, 5) and (bi < 7).all()
+    assert (bs[0] == 0.0).all() and (bs[2] == 0.0).all()
+
+
 def test_search_many_batched_equals_looped(mesh):
     """The single-dispatch batched sharded search must rank exactly like
     per-query sharded searches AND the single-device library, across a

@@ -14,6 +14,7 @@ compare rate.
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 
@@ -21,6 +22,74 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _probe_backend(timeout_s: float = 150.0) -> tuple[bool, str]:
+    """One out-of-process backend probe.
+
+    A relay outage can make ``jax.devices()`` HANG inside a blocking C call
+    (not raise), which no in-process try/except or signal can interrupt —
+    so the probe runs a tiny real computation in a child process under a
+    hard timeout.  Returns (ok, device-or-reason).
+    """
+    code = ("import jax, jax.numpy as jnp\n"
+            "assert float(jnp.ones((8, 8)).sum()) == 64.0\n"
+            "print(jax.devices()[0])\n")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, "backend probe timed out (relay hang)"
+    except Exception as e:  # noqa: BLE001 — any probe failure = unavailable
+        return False, f"backend probe failed: {e}"
+    if proc.returncode != 0:
+        return False, (proc.stderr.strip() or "probe exited nonzero")[-300:]
+    return True, proc.stdout.strip().splitlines()[-1]
+
+
+def acquire_backend(retries: int = 3, wait_s: float = 90.0,
+                    probe=None, sleep=time.sleep):
+    """Bounded-retry backend acquisition (driver contract hardening).
+
+    Axon relay outages last hours; the driver must get a STRUCTURED outcome,
+    not a traceback, so we retry for a few minutes at most and return None
+    (caller emits the parseable error line) rather than raising or hanging.
+    """
+    if probe is None:
+        probe = _probe_backend    # late-bound so tests can monkeypatch it
+    for attempt in range(max(retries, 1)):
+        ok, info = probe()
+        if ok:
+            return info
+        print(f"# backend probe {attempt + 1}/{retries} failed: {info}",
+              file=sys.stderr)
+        if attempt < retries - 1:
+            sleep(wait_s)
+    return None
+
+
+def emit_failure(reason: str, error: str = "tpu_unavailable") -> None:
+    """The ONE-JSON-line contract, degraded parseably on failure."""
+    try:
+        with open("bench_details.json") as f:
+            details = json.load(f)
+    except Exception:
+        details = {}
+    details["backend_error"] = str(reason)[:300]
+    try:
+        with open("bench_details.json", "w") as f:
+            json.dump(details, f, indent=2)
+    except Exception:  # noqa: BLE001 — the stdout line matters more
+        pass
+    print(json.dumps({
+        "metric": "10s clips fingerprinted/sec/chip (parity mode)",
+        "value": None,
+        "unit": "clips/s",
+        "vs_baseline": None,
+        "error": error,
+        "reason": str(reason)[:300],
+    }))
 
 
 def _synth_clips(batch: int, t_pad: int, seed: int = 0) -> np.ndarray:
@@ -414,12 +483,24 @@ def main():
     timers = profiling.StageTimers()
     # Merge into the existing artifact so fields produced by optional modes
     # (--packed-64k / --million-track) survive runs that skip those modes.
+    # Backend acquisition runs FIRST and fails structurally: a relay outage
+    # at this point must yield one parseable JSON line + rc 0 for the driver
+    # (BENCH_r03 was rc=1/parsed=null exactly because jax.devices() below
+    # ran unguarded).  --no-backend-retry keeps tests/local iteration fast.
+    if "--no-backend-retry" in sys.argv:
+        device_str = acquire_backend(retries=1, wait_s=0.0)
+    else:
+        device_str = acquire_backend()
+    if device_str is None:
+        emit_failure("backend unavailable after bounded retries")
+        return
+
     try:
         with open("bench_details.json") as f:
             details = json.load(f)
     except Exception:
         details = {}
-    details.update({"device": str(jax.devices()[0]), "jax": jax.__version__})
+    details.update({"device": device_str, "jax": jax.__version__})
 
     parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
     proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected
@@ -583,4 +664,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver needs ONE parseable
+        # line + rc 0 even when the backend drops mid-run or a section
+        # escapes its local isolation; the reason string carries the detail.
+        emit_failure(f"{type(e).__name__}: {e}", error="bench_exception")

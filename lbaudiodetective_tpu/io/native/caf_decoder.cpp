@@ -125,6 +125,12 @@ void decode_lpcm(const uint8_t* data, size_t size, uint32_t flags,
     const bool is_float = flags & 1;
     const bool little = flags & 2;
     const size_t bytes = bits / 8;
+    // Callers validate channels/bits, but a divide-by-zero here is fatal to
+    // the whole process (SIGFPE), so guard defensively as well.
+    if (bytes == 0 || channels == 0) {
+        out->clear();
+        return;
+    }
     const size_t frames = size / (bytes * channels);
     out->resize(frames);
     for (size_t f = 0; f < frames; ++f) {
@@ -413,6 +419,14 @@ int read_caf_buffer(const std::vector<uint8_t>& raw,
         if (channels != 1) return 5;
         decode_ima4(data_chunk, data_size, valid_frames, &samples);
     } else if (std::strcmp(fmt, "lpcm") == 0) {
+        // File-controlled channels/bits must be validated before they reach
+        // decode_lpcm's frame arithmetic (channels=0 or bits<8 would
+        // integer-divide by zero -> SIGFPE killing the serving process).
+        if (channels < 1) return 5;
+        const bool is_float = flags & 1;
+        if (is_float ? (bits != 32 && bits != 64)
+                     : (bits != 8 && bits != 16 && bits != 24 && bits != 32))
+            return 6;
         decode_lpcm(data_chunk, data_size, flags, bits, channels, &samples);
     } else if (std::strcmp(fmt, "ulaw") == 0 || std::strcmp(fmt, "alaw") == 0) {
         if (channels < 1) return 5;

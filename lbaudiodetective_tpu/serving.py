@@ -154,6 +154,14 @@ class IdentificationService:
         if text and set(text) - set("01+"):
             raise errors.InvalidArgumentError(
                 "fingerprint string may contain only '0', '1' and '+'")
+        # A consistent-but-wrong per-subfingerprint length parses fine but
+        # builds a query whose pair count mismatches the library, failing
+        # deep in the packed matcher as an opaque 500 — reject it up front.
+        first = text.split("+", 1)[0] if text else ""
+        if first and len(first) != self.config.subfingerprint_length:
+            raise errors.InvalidArgumentError(
+                f"fingerprint subfingerprint length {len(first)} does not "
+                f"match server config ({self.config.subfingerprint_length})")
         try:
             fp = Fingerprint.from_string(
                 text, self.config.subfingerprint_length)

@@ -1,0 +1,89 @@
+"""Driver-contract tests for bench.py's structured failure modes.
+
+The driver records whatever bench.py prints; a relay outage (which lasts
+hours and recurs) must therefore yield ONE parseable JSON line and rc 0 —
+never a traceback with parsed=null (the BENCH_r03 failure mode).
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def bench(monkeypatch, tmp_path):
+    """Import bench.py with CWD moved to a scratch dir (it writes
+    bench_details.json into the CWD)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo")
+    import bench as bench_mod
+
+    yield bench_mod
+    sys.path.remove("/root/repo")
+
+
+def test_simulated_outage_emits_structured_line(bench, monkeypatch, capsys,
+                                                tmp_path):
+    """Backend probe failing every attempt -> main() returns (no raise) and
+    stdout carries exactly one parseable JSON line with error set."""
+    calls = {"n": 0}
+
+    def dead_probe(timeout_s: float = 0.0):
+        calls["n"] += 1
+        return False, "UNAVAILABLE: relay outage (simulated)"
+
+    monkeypatch.setattr(bench, "_probe_backend", dead_probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--quick"])
+    bench.main()                                  # must not raise
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    parsed = json.loads(out[0])
+    assert parsed["value"] is None
+    assert parsed["error"] == "tpu_unavailable"
+    assert parsed["metric"].startswith("10s clips")
+    assert "reason" in parsed
+    assert calls["n"] == 3                        # bounded retries, not hours
+    details = json.loads((tmp_path / "bench_details.json").read_text())
+    assert "backend_error" in details
+
+
+def test_outage_retry_then_recovery_continues(bench, monkeypatch):
+    """A probe that fails once then succeeds -> acquire_backend returns the
+    device string after the bounded retry (no premature give-up)."""
+    seq = iter([(False, "UNAVAILABLE"), (True, "TPU v5e device 0")])
+    got = bench.acquire_backend(retries=3, wait_s=0.0,
+                                probe=lambda: next(seq), sleep=lambda s: None)
+    assert got == "TPU v5e device 0"
+
+
+def test_acquire_backend_gives_up_after_bounded_window(bench):
+    slept = []
+    got = bench.acquire_backend(
+        retries=3, wait_s=90.0,
+        probe=lambda: (False, "down"), sleep=slept.append)
+    assert got is None
+    assert slept == [90.0, 90.0]                  # retries-1 waits, bounded
+
+
+def test_unhandled_exception_still_prints_one_line(tmp_path):
+    """Run bench.py as __main__ with a probe forced to succeed but the body
+    forced to fail (bogus argv is not enough; we simulate by making
+    bench_details.json a directory so the final write path errors are
+    exercised via emit_failure's catch) — cheapest full-process check:
+    an unknown-platform child probe failure yields rc 0 + one JSON line."""
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "--quick",
+         "--no-backend-retry"],
+        capture_output=True, text=True, timeout=600, cwd=tmp_path,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cuda",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 1
+    parsed = json.loads(lines[0])
+    assert parsed["value"] is None and "error" in parsed

@@ -140,6 +140,121 @@ def test_fuzz_truncation_and_mutation_all_containers(tmp_path):
             run_one(name, bytes(mutated), 1000 + i)
 
 
+def _native_fuzz_corpus(tmp_path):
+    """Write the same truncation/mutation corpus the Python-reader fuzz uses
+    (plus crafted zero-channel / tiny-bits CAF descs) as files on disk."""
+    import struct
+
+    from lbaudiodetective_tpu.io.aiff import write_aiff
+    from lbaudiodetective_tpu.io.au import write_au
+    from lbaudiodetective_tpu.io.g711 import encode_mulaw
+    from lbaudiodetective_tpu.io.wav import write_wav
+
+    rng = np.random.default_rng(99)
+    x = (0.4 * np.sin(2 * np.pi * 440.0 *
+                      np.arange(4000) / 8000.0)).astype(np.float32)
+    samples = {}
+    p = tmp_path / "t.wav"
+    write_wav(str(p), x, 8000.0)
+    samples["wav_pcm"] = p.read_bytes()
+    p = tmp_path / "t.aiff"
+    write_aiff(str(p), x, 8000.0)
+    samples["aiff"] = p.read_bytes()
+    payload = encode_mulaw(x)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 7, 1, 8000, 8000, 1, 8)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + fmt + data
+    samples["wav_ulaw"] = b"RIFF" + struct.pack("<I", len(body)) + body
+    samples["caf_ima4"] = open(corpus_path("Wren_eql"), "rb").read()
+    p = tmp_path / "t.au"
+    write_au(str(p), x, 8000.0)
+    samples["au_pcm"] = p.read_bytes()
+
+    fdir = tmp_path / "native_fuzz"
+    fdir.mkdir()
+    count = 0
+    for name, blob in samples.items():
+        cuts = list(range(0, min(120, len(blob)))) + list(
+            np.linspace(120, len(blob) - 1, 30).astype(int))
+        for i, cut in enumerate(cuts):
+            (fdir / f"{name}_cut{i}").write_bytes(blob[:cut])
+            count += 1
+        for i in range(40):
+            mutated = bytearray(blob)
+            for _ in range(int(rng.integers(1, 8))):
+                mutated[int(rng.integers(0, len(blob)))] = int(rng.integers(256))
+            (fdir / f"{name}_mut{i}").write_bytes(bytes(mutated))
+            count += 1
+
+    # Crafted CAF descs with file-controlled division-operand fields: the
+    # channels=0 lpcm case SIGFPE'd the whole process before the guard in
+    # caf_decoder.cpp (read_caf_buffer lpcm branch / decode_lpcm).
+    def crafted_caf(fmt4, flags, bits, channels):
+        desc = struct.pack(">d4sIIIII", 44100.0, fmt4, flags, 4, 1,
+                           channels, bits)
+        payload = struct.pack(">I", 0) + b"\x00" * 64
+        return (b"caff\x00\x01\x00\x00"
+                + b"desc" + struct.pack(">q", len(desc)) + desc
+                + b"data" + struct.pack(">q", len(payload)) + payload)
+
+    crafted = [
+        (b"lpcm", 0, 16, 0),    # channels=0 -> SIGFPE pre-fix
+        (b"lpcm", 0, 0, 1),     # bits=0
+        (b"lpcm", 0, 4, 1),     # bits<8 -> bytes=0
+        (b"lpcm", 1, 16, 1),    # float flag with non-float width
+        (b"lpcm", 0, 24, 0xFFFFFFFF),
+        (b"ulaw", 0, 8, 0),
+        (b"alaw", 0, 8, 0),
+    ]
+    for i, args in enumerate(crafted):
+        (fdir / f"caf_crafted{i}").write_bytes(crafted_caf(*args))
+        count += 1
+    return fdir, count
+
+
+def test_native_decoder_fuzz_subprocess(tmp_path):
+    """Run the fuzz corpus through the C++ lbad_read_audio in a subprocess:
+    a signal-death (SIGFPE/SIGSEGV in the native code) surfaces as a failed
+    returncode here instead of killing the test runner.  This is the path
+    production decode hits FIRST (io/decode.py::_read_file), so it must be
+    at least as hardened as the NumPy readers."""
+    import subprocess
+    import sys
+
+    from lbaudiodetective_tpu.io.native import binding
+
+    if not binding.available():
+        pytest.skip("native decoder not built")
+
+    fdir, count = _native_fuzz_corpus(tmp_path)
+    worker = (
+        "import pathlib, sys\n"
+        "from lbaudiodetective_tpu.io.native import binding\n"
+        "from lbaudiodetective_tpu.errors import AudioDetectiveError\n"
+        "import numpy as np\n"
+        "fdir = pathlib.Path(sys.argv[1])\n"
+        "n = ok = 0\n"
+        "for f in sorted(fdir.iterdir()):\n"
+        "    n += 1\n"
+        "    try:\n"
+        "        out, rate = binding.read_audio(str(f))\n"
+        "    except AudioDetectiveError:\n"
+        "        continue\n"
+        "    assert out.dtype == np.float32, f\n"
+        "    ok += 1\n"
+        "print(f'FUZZED {n} decoded {ok}')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", worker, str(fdir)],
+        capture_output=True, text=True, timeout=300,
+    )
+    # returncode < 0 == died by signal: the exact failure mode this guards.
+    assert proc.returncode == 0, (
+        f"native fuzz worker rc={proc.returncode} "
+        f"(negative = signal death)\nstderr:\n{proc.stderr[-2000:]}")
+    assert f"FUZZED {count} " in proc.stdout
+
+
 def test_fuzz_decode_audio_file_level(tmp_path):
     """The public decode entry (decode + resample) under header mutations:
     typed errors or a sane DecodedAudio, never parser leaks or unbounded

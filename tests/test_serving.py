@@ -418,7 +418,13 @@ def test_identify_fingerprint_endpoint(server):
 
 
 def test_identify_fingerprint_rejects_bad_payloads(server):
-    for bad in (b"\xff\xfebinary", b"01x10", b"0101+01", b""):
+    # The last two are CONSISTENT '01+' strings of the wrong
+    # per-subfingerprint length: they parse fine but mismatch the server
+    # config's pair count — must be a 400 at the edge, not an opaque 500
+    # from deep inside the packed matcher.
+    wrong_len = ("01" * 64 + "+" + "01" * 64).encode()
+    for bad in (b"\xff\xfebinary", b"01x10", b"0101+01", b"", b"0101",
+                wrong_len):
         status, body = _post(server, "/identify-fingerprint", bad)
         assert status == 400, bad
         assert "error" in body

@@ -308,20 +308,26 @@ def bench_million_track_search(config, s_max: int = 64, iters: int = 5):
     neg = ((rng.random((s_max, pairs)) < 0.45) & (pos == 0)).astype(np.uint8)
     query = Fingerprint(pos, neg)
 
-    def run():
+    def run(phases):
         idx, scores = lib.search(query, top_k=5, shortlist=1024,
-                                 coarse_range=64, coarse_stride=4)
+                                 coarse_range=64, coarse_stride=4,
+                                 coarse_phases=phases)
         return float(scores[0])
 
-    run()                                        # compile + coarse cache
-    best = 0.0
-    dts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        best = run()                             # host fetches => real wait
-        dts.append(time.perf_counter() - t0)
-    assert best >= 0.0
-    return min(dts), l
+    out = {}
+    # phases=None (all 4: the offset-robust default) vs the legacy
+    # phase-0-only coarse — the recall/cost tradeoff both ways.
+    for label, phases in (("robust", None), ("phase1", 1)):
+        run(phases)                              # compile + coarse cache
+        best = 0.0
+        dts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            best = run(phases)                   # host fetches => real wait
+            dts.append(time.perf_counter() - t0)
+        assert best >= 0.0
+        out[label] = min(dts)
+    return out["robust"], out["phase1"], l
 
 
 def make_bench_dedup_block(config, lr: int = 1024, lv: int = 16,
@@ -391,6 +397,60 @@ def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
     dt = time.perf_counter() - t0
     audio_seconds = steps * chunk / config.processing_sample_rate * n_streams
     return audio_seconds / dt, n_streams
+
+
+def bench_streaming_identify(config, n_streams: int = 256,
+                             lib_size: int = 16384, s_lib: int = 32,
+                             chunk: int = 1024, steps: int = 20,
+                             match_every: int = 4, group: int = 32):
+    """Streaming identification end-to-end (essay Appendix E live use case):
+    ``n_streams`` lockstep streams feed a StreamingIdentifier against a
+    ``lib_size``-entry library; every ``match_every`` completed
+    subfingerprints ONE identify tick rematches every stream's accumulated
+    fingerprint against the whole library (stream-grouped dispatches bound
+    the hit transient).  Reports (identify ticks/s, seconds per tick,
+    audio real-time factor including extraction, ticks run)."""
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+    from lbaudiodetective_tpu.streaming.identify import StreamingIdentifier
+    from lbaudiodetective_tpu.utils.packing import words_per_plane
+
+    pairs = config.num_wavelet_pairs
+    w = words_per_plane(pairs)
+    rng = np.random.default_rng(11)
+    lib = FingerprintLibrary(
+        rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
+        rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
+        np.full(lib_size, s_lib, np.int32), pairs, config)
+    ident = StreamingIdentifier(lib, batch=n_streams, chunk_size=chunk,
+                                config=config, match_every=match_every,
+                                match_stream_group=group)
+    chunks = (rng.standard_normal((steps, n_streams, chunk))
+              * 3276.8).astype(np.int16)
+    # Warm: run enough chunks that at least one identify tick compiles.
+    ticks = 0
+    for s in range(steps):
+        ticks += int(ident.feed_pcm16(chunks[s]) > 0)
+    ident.finalize()
+    if ticks == 0:
+        raise RuntimeError("no identify tick fired during warmup")
+    # Timed pass: fresh identifier state, same compiled shapes.
+    ident2 = StreamingIdentifier(lib, batch=n_streams, chunk_size=chunk,
+                                 config=config, match_every=match_every,
+                                 match_stream_group=group)
+    n_ticks = 0
+    tick_seconds = []
+    t0 = time.perf_counter()
+    for s in range(steps):
+        t_tick = time.perf_counter()
+        done = ident2.feed_pcm16(chunks[s])
+        if done and ident2._since_match == 0:    # a match tick just ran
+            tick_seconds.append(time.perf_counter() - t_tick)
+            n_ticks += 1
+    ident2.finalize()
+    dt = time.perf_counter() - t0
+    audio_seconds = steps * chunk / config.processing_sample_rate * n_streams
+    return (n_ticks / dt, float(np.median(tick_seconds)) if tick_seconds
+            else float("nan"), audio_seconds / dt, n_ticks)
 
 
 def bench_serving(config, max_batch: int = 8, threads: int = 8,
@@ -604,10 +664,12 @@ def main():
             details["million_track_query_seconds"] = q_dt
             details["million_track_library_size"] = l
             with timers.stage("million_track_search"):
-                s_dt, _ = bench_million_track_search(parity_cfg)
+                s_dt, s_dt_p1, _ = bench_million_track_search(parity_cfg)
             details["million_track_search_seconds"] = s_dt
+            details["million_track_search_phase1_seconds"] = s_dt_p1
             details["million_track_search_params"] = {
-                "shortlist": 1024, "coarse_range": 64, "coarse_stride": 4}
+                "shortlist": 1024, "coarse_range": 64, "coarse_stride": 4,
+                "coarse_phases": "all (offset-robust)"}
         except Exception as e:
             details["million_track_error"] = str(e)[:200]
     if "--serving" in sys.argv:
@@ -649,6 +711,23 @@ def main():
         details["streaming_concurrent_streams"] = n_streams
     except Exception as e:  # keep the primary metric robust
         details["streaming_error"] = str(e)[:200]
+
+    if "--streaming-identify" in sys.argv:
+        try:
+            si_streams = 64 if quick else 256
+            si_lib = 2048 if quick else 16384
+            with timers.stage("streaming_identify"):
+                ticks_ps, tick_s, rt, n_ticks = bench_streaming_identify(
+                    parity_cfg, n_streams=si_streams, lib_size=si_lib)
+            details["streaming_identify"] = {
+                "ticks_per_sec": ticks_ps,
+                "median_tick_seconds": tick_s,
+                "realtime_factor_with_identify": rt,
+                "ticks": n_ticks,
+                "streams": si_streams, "library_size": si_lib,
+            }
+        except Exception as e:
+            details["streaming_identify_error"] = str(e)[:200]
 
     details["host_stage_seconds"] = timers.report()
     with open("bench_details.json", "w") as f:

@@ -72,7 +72,15 @@ def _read_file(path: str) -> tuple[np.ndarray, float]:
         from lbaudiodetective_tpu.io.au import read_au
 
         return read_au(path)
-    return _caf.read_caf(path)
+    if magic == b"caff":
+        return _caf.read_caf(path)
+    # Unknown magic: a perceptual codec (MP3/AAC/ALAC — formats the
+    # reference accepted through AudioToolbox, LBAudioDetective.m:224) or
+    # garbage.  The guarded external shim decodes via a system ffmpeg when
+    # one is installed and raises a typed UnsupportedFormatError otherwise.
+    from lbaudiodetective_tpu.io.external import decode_via_external
+
+    return decode_via_external(path)
 
 
 def decode_audio_file(path: str, processing_rate: float = 5512.0) -> DecodedAudio:

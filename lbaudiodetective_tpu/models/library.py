@@ -197,7 +197,8 @@ class FingerprintLibrary:
     def search(self, query: Fingerprint, top_k: int = 5,
                comparison_range: int = 0, shortlist: int = 1024,
                coarse_range: int = 64, coarse_stride: int = 4,
-               chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+               chunk: int = 65536, coarse_phases: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
         """Two-stage library search: coarse shortlist, exact re-score.
 
         The coarse pass runs the packed matcher over every
@@ -211,9 +212,15 @@ class FingerprintLibrary:
         by descending exact score.
 
         The returned scores are exact; ranking is exact whenever the true
-        top-k survive the shortlist (recall is asserted at 100% on the
-        Birds corpus in tests/test_library.py and is a measured, not
-        guaranteed, property at adversarial shortlist sizes).
+        top-k survive the shortlist.  The coarse pass scans ALL
+        ``coarse_stride`` phase shifts of the strided query by default
+        (``coarse_phases=None``), so recall does not depend on the query's
+        subfingerprint offset modulo the stride — the measured failure
+        mode of the phase-0-only coarse (``coarse_phases=1``, which
+        remains available as the cheap legacy behaviour); see
+        ops.match_packed.phase_strided_query_planes and
+        tests/test_search_recall.py for the planted-near-duplicate
+        measurements.
 
         The whole coarse-scan -> on-device top-k -> gather -> exact
         re-score chain is ONE jitted dispatch
@@ -241,12 +248,17 @@ class FingerprintLibrary:
         qp[:n] = query.pos[:n]
         qn[:n] = query.neg[:n]
         lp_c, ln_c, cnt_c, chunk = self._coarse_planes(coarse_stride, chunk)
+        from lbaudiodetective_tpu.ops.match_packed import (
+            phase_strided_query_planes)
+
+        qcp, qcn, nc = phase_strided_query_planes(qp, qn, n, coarse_stride,
+                                                  coarse_phases)
         idx, scores = two_stage_search_packed(
             pack_bits_device(jnp.asarray(qp)), pack_bits_device(jnp.asarray(qn)),
             jnp.int32(n),
-            pack_bits_device(jnp.asarray(qp[::coarse_stride])),
-            pack_bits_device(jnp.asarray(qn[::coarse_stride])),
-            jnp.int32(-(-n // coarse_stride)),
+            pack_bits_device(jnp.asarray(qcp)),
+            pack_bits_device(jnp.asarray(qcn)),
+            jnp.asarray(nc),
             self.pos_words, self.neg_words, self.counts,
             lp_c, ln_c, cnt_c,
             self.pairs, comparison_range, self.config.subfingerprint_length,
@@ -256,7 +268,8 @@ class FingerprintLibrary:
     def search_many(self, queries: list[Fingerprint], top_k: int = 5,
                     comparison_range: int = 0, shortlist: int = 1024,
                     coarse_range: int = 64, coarse_stride: int = 4,
-                    chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+                    chunk: int = 65536, coarse_phases: int | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
         """Batched ``search``: B queries in one vmapped dispatch ->
         ``(indices [B, top_k], exact scores [B, top_k])`` — the serving
         batcher's large-library stage."""
@@ -289,13 +302,18 @@ class FingerprintLibrary:
                 self.config.subfingerprint_length,
                 coarse_range, chunk, shortlist, top_k)
 
+        from lbaudiodetective_tpu.ops.match_packed import (
+            phase_strided_query_planes)
+
+        qcp, qcn, nc = phase_strided_query_planes(qp, qn, nq, coarse_stride,
+                                                  coarse_phases)
         idx, scores = jax.vmap(one)(
             pack_bits_device(jnp.asarray(qp)),
             pack_bits_device(jnp.asarray(qn)),
             jnp.asarray(nq),
-            pack_bits_device(jnp.asarray(qp[:, ::coarse_stride])),
-            pack_bits_device(jnp.asarray(qn[:, ::coarse_stride])),
-            jnp.asarray(-(-nq // coarse_stride)))
+            pack_bits_device(jnp.asarray(qcp)),
+            pack_bits_device(jnp.asarray(qcn)),
+            jnp.asarray(nc))
         return np.asarray(idx).astype(np.int64), np.asarray(scores)
 
     # -- persistence ----------------------------------------------------------

@@ -95,6 +95,52 @@ def match_one_vs_many_packed(q_pos_w, q_neg_w, n_query,
     return _both_orientation_scores(hits, inv_lib, inv_q, n_lib, nq)
 
 
+def phase_strided_query_planes(qp, qn, n, stride: int,
+                               phases: int | None = None):
+    """Phase-shifted strided query planes for the phase-robust coarse pass.
+
+    ``[S, pairs]`` uint8 planes (or batched ``[B, S, pairs]``) ->
+    ``([P, Sc, pairs], [P, Sc, pairs], [P])`` (batched: leading ``B``),
+    where phase ``p`` holds ``q[p::stride]`` zero-padded to
+    ``Sc = ceil(S/stride)`` and its subfingerprint count.
+
+    Why phases: the coarse pass strides BOTH query and library
+    subfingerprint axes, so its offset slide is quantised to multiples of
+    ``stride`` — phase ``p`` restores alignment for true offsets
+    ``k ≡ -p (mod stride)`` (k = o*stride - p at strided offset o).
+    Consecutive subfingerprints cover DISJOINT audio (128-row frames,
+    LBAudioDetective.m:262-293), so a misaligned coarse compare scores
+    ~chance and a crop at k % stride != 0 would otherwise fall out of the
+    shortlist entirely (measured: 2-5/10 recall at shortlist = L/2).
+    Scanning all ``stride`` phases and taking the max restores recall at
+    ``stride``x the coarse compute — still ``stride``x cheaper than the
+    exact scan on the subfingerprint axes alone, plus the coarse-range
+    word skip.  ``phases`` < stride trades recall back for speed
+    (phases=1 == the legacy phase-0-only coarse).
+    """
+    qp = np.asarray(qp)
+    qn = np.asarray(qn)
+    batched = qp.ndim == 3
+    if not batched:
+        qp, qn = qp[None], qn[None]
+    n_arr = np.atleast_1d(np.asarray(n, np.int32))
+    b, s, pairs = qp.shape
+    sc = -(-s // stride)
+    p_total = stride if phases is None else max(1, min(phases, stride))
+    out_p = np.zeros((b, p_total, sc, pairs), np.uint8)
+    out_n = np.zeros_like(out_p)
+    ncs = np.zeros((b, p_total), np.int32)
+    for p in range(p_total):
+        sl = qp[:, p::stride]
+        out_p[:, p, : sl.shape[1]] = sl
+        sl = qn[:, p::stride]
+        out_n[:, p, : sl.shape[1]] = sl
+        ncs[:, p] = np.maximum(0, -(-(n_arr - p) // stride))
+    if not batched:
+        return out_p[0], out_n[0], ncs[0]
+    return out_p, out_n, ncs
+
+
 @partial(jax.jit, static_argnames=("pairs", "comparison_range",
                                    "subfingerprint_length", "coarse_range",
                                    "chunk", "shortlist", "top_k"))
@@ -120,6 +166,12 @@ def two_stage_search_packed(q_pos_w, q_neg_w, n_query,
     score — no host round-trip until the final [top_k] fetch, which is
     what makes this fast over a high-latency link (the host-chunked
     variant measured 0.87 s vs 0.39 s for even a FULL scan at 1M).
+
+    ``qc_*`` carry a leading PHASE axis ``[P, Sc, W]`` (+ counts ``[P]``),
+    built by :func:`phase_strided_query_planes`; each chunk's coarse score
+    is the max over phases, making the shortlist robust to query offsets
+    that are not multiples of the coarse stride.  ``lax.map`` over the
+    phase axis keeps the [chunk, Sc, Sc] transient single-phase.
     """
     lp = libc_pos_w.shape[0]
     sc_len, w = libc_pos_w.shape[1], libc_pos_w.shape[2]
@@ -127,15 +179,24 @@ def two_stage_search_packed(q_pos_w, q_neg_w, n_query,
         raise ValueError("coarse plane entry axis must be zero-padded to a "
                          "multiple of chunk")
     n_chunks = lp // chunk
+    n_phases = qc_pos_w.shape[0]
 
     def body(i):
         start = i * chunk
-        return match_one_vs_many_packed(
-            qc_pos_w, qc_neg_w, n_query_c,
-            jax.lax.dynamic_slice(libc_pos_w, (start, 0, 0), (chunk, sc_len, w)),
-            jax.lax.dynamic_slice(libc_neg_w, (start, 0, 0), (chunk, sc_len, w)),
-            jax.lax.dynamic_slice(n_lib_c, (start,), (chunk,)),
-            pairs, coarse_range, subfingerprint_length)
+        lcp = jax.lax.dynamic_slice(libc_pos_w, (start, 0, 0),
+                                    (chunk, sc_len, w))
+        lcn = jax.lax.dynamic_slice(libc_neg_w, (start, 0, 0),
+                                    (chunk, sc_len, w))
+        nlc = jax.lax.dynamic_slice(n_lib_c, (start,), (chunk,))
+
+        def phase(p):
+            return match_one_vs_many_packed(
+                qc_pos_w[p], qc_neg_w[p], n_query_c[p], lcp, lcn, nlc,
+                pairs, coarse_range, subfingerprint_length)
+
+        if n_phases == 1:
+            return phase(jnp.int32(0))
+        return jax.lax.map(phase, jnp.arange(n_phases)).max(axis=0)
 
     if n_chunks > 1:
         coarse = jax.lax.map(body, jnp.arange(n_chunks)).reshape(lp)

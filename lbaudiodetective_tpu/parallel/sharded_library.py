@@ -100,16 +100,25 @@ class ShardedFingerprintLibrary:
 
     # -- internals -----------------------------------------------------------
 
-    def _query_planes(self, query: Fingerprint, stride: int = 1):
+    def _query_planes(self, query: Fingerprint, stride: int = 1,
+                      phases: int | None = None, coarse: bool = False):
         s = int(self.pos_words.shape[1])
         n = min(query.num_subfingerprints, s)
         qp = np.zeros((s, query.pairs), np.uint8)
         qn = np.zeros((s, query.pairs), np.uint8)
         qp[:n] = query.pos[:n]
         qn[:n] = query.neg[:n]
-        if stride > 1:
-            qp, qn = qp[::stride], qn[::stride]
-            n = -(-n // stride)
+        if coarse:
+            # Phase-robust coarse query planes (leading phase axis, present
+            # even at stride 1) — see
+            # ops.match_packed.phase_strided_query_planes.
+            from lbaudiodetective_tpu.ops.match_packed import (
+                phase_strided_query_planes)
+
+            qcp, qcn, nc = phase_strided_query_planes(qp, qn, n, stride,
+                                                      phases)
+            return (pack_bits_device(jnp.asarray(qcp)),
+                    pack_bits_device(jnp.asarray(qcn)), jnp.asarray(nc))
         return (pack_bits_device(jnp.asarray(qp)),
                 pack_bits_device(jnp.asarray(qn)), jnp.int32(n))
 
@@ -168,14 +177,17 @@ class ShardedFingerprintLibrary:
     def search(self, query: Fingerprint, top_k: int = 5,
                comparison_range: int = 0, shortlist: int = 1024,
                coarse_range: int = 64, coarse_stride: int = 4,
-               chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+               chunk: int = 65536, coarse_phases: int | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
         """Two-stage coarse->exact search, each shard shortlisting and
         re-scoring its residents; global merge host-side.  Same recall
-        property as the single-device search, per shard."""
+        property as the single-device search, per shard (phase-robust
+        coarse by default, see FingerprintLibrary.search)."""
         self.config.warn_if_unvalidated_for_identification()
         top_k = min(top_k, self._l)
         qpw, qnw, n = self._query_planes(query)
-        qcp, qcn, nc = self._query_planes(query, coarse_stride)
+        qcp, qcn, nc = self._query_planes(query, coarse_stride,
+                                          coarse_phases, coarse=True)
         lcp, lcn, cnt_c = self._coarse_planes(coarse_stride)
         n_sh = self.mesh.shape["library"]
         # Ask each shard for enough candidates that padded entries (count 0,
@@ -192,7 +204,8 @@ class ShardedFingerprintLibrary:
     def search_many(self, queries: list[Fingerprint], top_k: int = 5,
                     comparison_range: int = 0, shortlist: int = 1024,
                     coarse_range: int = 64, coarse_stride: int = 4,
-                    chunk: int = 65536) -> tuple[np.ndarray, np.ndarray]:
+                    chunk: int = 65536, coarse_phases: int | None = None
+                    ) -> tuple[np.ndarray, np.ndarray]:
         """Batched search: B queries in ONE mesh dispatch (each shard vmaps
         the fused two-stage search over the query batch)."""
         from lbaudiodetective_tpu.parallel.sharded_packed import (
@@ -208,14 +221,20 @@ class ShardedFingerprintLibrary:
         qp, qn, nq = stack_query_planes(queries, s)
         qpw = pack_bits_device(jnp.asarray(qp))
         qnw = pack_bits_device(jnp.asarray(qn))
-        qcp = pack_bits_device(jnp.asarray(qp[:, ::coarse_stride]))
-        qcn = pack_bits_device(jnp.asarray(qn[:, ::coarse_stride]))
+        from lbaudiodetective_tpu.ops.match_packed import (
+            phase_strided_query_planes)
+
+        qcp_u, qcn_u, nc = phase_strided_query_planes(qp, qn, nq,
+                                                      coarse_stride,
+                                                      coarse_phases)
+        qcp = pack_bits_device(jnp.asarray(qcp_u))
+        qcn = pack_bits_device(jnp.asarray(qcn_u))
         lcp, lcn, cnt_c = self._coarse_planes(coarse_stride)
         n_sh = self.mesh.shape["library"]
         k_ask = top_k + (-self._l) % n_sh       # padded entries filtered below
         idx, sc = search_many_library_sharded_packed(
             qpw, qnw, jnp.asarray(nq), qcp, qcn,
-            jnp.asarray(-(-nq // coarse_stride)),
+            jnp.asarray(nc),
             self.pos_words, self.neg_words, self.counts, lcp, lcn, cnt_c,
             self.pairs, self.mesh, comparison_range,
             self.config.subfingerprint_length, coarse_range, chunk,

@@ -52,12 +52,20 @@ class StreamingIdentifier:
     def __init__(self, library: FingerprintLibrary, batch: int,
                  chunk_size: int = 1024,
                  config: FingerprintConfig | None = None,
-                 match_every: int = 4):
+                 match_every: int = 4, match_stream_group: int = 0):
         self.library = library
         self.config = config or FingerprintConfig()
         self.config.warn_if_unvalidated_for_identification()
         self.extractor = StreamingExtractor(batch=batch, chunk_size=chunk_size,
                                             config=self.config)
+        #: >0 splits each match tick's vmapped dispatch into groups of this
+        #: many streams (must divide ``batch``): the matcher's [G, L, S, Sq]
+        #: hit transient is what bounds library size per dispatch (256
+        #: streams x a 16k library at S=32 is ~17 GB in one dispatch, 2.1 GB
+        #: at G=32).  0 = all streams in one dispatch.
+        if match_stream_group and batch % match_stream_group:
+            raise ValueError("match_stream_group must divide batch")
+        self.match_stream_group = match_stream_group
         self.match_every = match_every
         self.batch = batch
         self._since_match = 0
@@ -138,12 +146,17 @@ class StreamingIdentifier:
                           ((0, 0), (0, s - self._lib_pos.shape[1]), (0, 0)))
         lib_neg = jnp.pad(self._lib_neg,
                           ((0, 0), (0, s - self._lib_neg.shape[1]), (0, 0)))
-        nq = jnp.full((self.batch,), n_sub, jnp.int32)
         batched = jax.vmap(match_one_vs_many_padded,
                            in_axes=(0, 0, 0, None, None, None, None, None))
-        scores = np.asarray(batched(
-            jnp.asarray(qp), jnp.asarray(qn), nq, lib_pos, lib_neg,
-            self.library.counts, 0, self.config.subfingerprint_length))
+        g = self.match_stream_group or self.batch
+        parts = []
+        for s0 in range(0, self.batch, g):
+            nq = jnp.full((g,), n_sub, jnp.int32)
+            parts.append(np.asarray(batched(
+                jnp.asarray(qp[s0:s0 + g]), jnp.asarray(qn[s0:s0 + g]), nq,
+                lib_pos, lib_neg, self.library.counts, 0,
+                self.config.subfingerprint_length)))
+        scores = np.concatenate(parts, axis=0)
         best = scores.argmax(axis=1)
         for b in range(self.batch):
             self._results[b] = StreamMatch(int(best[b]),

@@ -181,12 +181,17 @@ def test_search_library_sharded_packed_equals_single_device(mesh):
     qn_full = np.zeros((s, pairs), np.uint8)
     qp_full[: sizes[5]] = query.pos
     qn_full[: sizes[5]] = query.neg
+    from lbaudiodetective_tpu.ops.match_packed import (
+        phase_strided_query_planes)
+
+    qcp, qcn, nc = phase_strided_query_planes(qp_full, qn_full, sizes[5],
+                                              stride)
     idx, scores = search_library_sharded_packed(
         pack_bits_device(jnp.asarray(qp_full)),
         pack_bits_device(jnp.asarray(qn_full)), jnp.int32(sizes[5]),
-        pack_bits_device(jnp.asarray(qp_full[::stride])),
-        pack_bits_device(jnp.asarray(qn_full[::stride])),
-        jnp.int32(-(-sizes[5] // stride)),
+        pack_bits_device(jnp.asarray(qcp)),
+        pack_bits_device(jnp.asarray(qcn)),
+        jnp.asarray(nc),
         jnp.asarray(pos_w), jnp.asarray(neg_w), jnp.asarray(counts),
         jnp.asarray(pos_w[:, ::stride]), jnp.asarray(neg_w[:, ::stride]),
         jnp.asarray(-(-counts // stride)),

@@ -78,6 +78,35 @@ def test_streams_identify_their_bird(corpus_lib, decoded_corpus,
         assert results[b].score == pytest.approx(float(ref.max()), abs=1e-6)
 
 
+def test_stream_grouped_match_equals_ungrouped(corpus_lib, decoded_corpus,
+                                               default_config):
+    """match_stream_group chunks each identify tick's vmapped dispatch into
+    fixed stream groups (what bounds the hit transient at 256 streams x 16k
+    libraries); results must be identical to the single-dispatch path."""
+    cfg = default_config
+    batch, chunk = 4, 1024
+    clips = [decoded_corpus[BIRDS[i % 4] + "_eql"] for i in range(batch)]
+    total = min(c.samples.shape[0] for c in clips)
+    n_steps = total // chunk
+    audio = np.stack([c.samples[: n_steps * chunk] for c in clips])
+
+    whole = StreamingIdentifier(corpus_lib, batch=batch, chunk_size=chunk,
+                                config=cfg, match_every=2)
+    grouped = StreamingIdentifier(corpus_lib, batch=batch, chunk_size=chunk,
+                                  config=cfg, match_every=2,
+                                  match_stream_group=2)
+    for s in range(n_steps):
+        whole.feed(audio[:, s * chunk:(s + 1) * chunk])
+        grouped.feed(audio[:, s * chunk:(s + 1) * chunk])
+    rw, rg = whole.finalize(), grouped.finalize()
+    for a, b in zip(rw, rg):
+        assert a.track == b.track
+        assert a.score == pytest.approx(b.score, abs=1e-7)
+        assert a.n_subfingerprints == b.n_subfingerprints
+    with pytest.raises(ValueError):
+        StreamingIdentifier(corpus_lib, batch=4, match_stream_group=3)
+
+
 def test_streaming_identify_sharded_library(corpus_lib, decoded_corpus,
                                             default_config):
     """StreamingIdentifier over a mesh-sharded library: one collective

@@ -421,36 +421,39 @@ def bench_streaming_identify(config, n_streams: int = 256,
         rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
         rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
         np.full(lib_size, s_lib, np.int32), pairs, config)
-    ident = StreamingIdentifier(lib, batch=n_streams, chunk_size=chunk,
-                                config=config, match_every=match_every,
-                                match_stream_group=group)
     chunks = (rng.standard_normal((steps, n_streams, chunk))
               * 3276.8).astype(np.int16)
-    # Warm: run enough chunks that at least one identify tick compiles.
-    ticks = 0
-    for s in range(steps):
-        ticks += int(ident.feed_pcm16(chunks[s]) > 0)
-    ident.finalize()
-    if ticks == 0:
-        raise RuntimeError("no identify tick fired during warmup")
-    # Timed pass: fresh identifier state, same compiled shapes.
-    ident2 = StreamingIdentifier(lib, batch=n_streams, chunk_size=chunk,
-                                 config=config, match_every=match_every,
-                                 match_stream_group=group)
-    n_ticks = 0
-    tick_seconds = []
-    t0 = time.perf_counter()
-    for s in range(steps):
-        t_tick = time.perf_counter()
-        done = ident2.feed_pcm16(chunks[s])
-        if done and ident2._since_match == 0:    # a match tick just ran
-            tick_seconds.append(time.perf_counter() - t_tick)
-            n_ticks += 1
-    ident2.finalize()
-    dt = time.perf_counter() - t0
     audio_seconds = steps * chunk / config.processing_sample_rate * n_streams
-    return (n_ticks / dt, float(np.median(tick_seconds)) if tick_seconds
-            else float("nan"), audio_seconds / dt, n_ticks)
+
+    def run_mode(rematch: str):
+        ident = StreamingIdentifier(lib, batch=n_streams, chunk_size=chunk,
+                                    config=config, match_every=match_every,
+                                    match_stream_group=group, rematch=rematch)
+        ticks = 0                   # warm pass: compile every tick shape
+        for s in range(steps):
+            ticks += int(ident.feed_pcm16(chunks[s]) > 0)
+        ident.finalize()
+        if ticks == 0:
+            raise RuntimeError("no identify tick fired during warmup")
+        ident2 = StreamingIdentifier(lib, batch=n_streams, chunk_size=chunk,
+                                     config=config, match_every=match_every,
+                                     match_stream_group=group,
+                                     rematch=rematch)
+        n_ticks = 0
+        tick_seconds = []
+        t0 = time.perf_counter()
+        for s in range(steps):
+            t_tick = time.perf_counter()
+            done = ident2.feed_pcm16(chunks[s])
+            if done and ident2._since_match == 0:   # a match tick just ran
+                tick_seconds.append(time.perf_counter() - t_tick)
+                n_ticks += 1
+        ident2.finalize()
+        dt = time.perf_counter() - t0
+        return (n_ticks / dt, float(np.median(tick_seconds)) if tick_seconds
+                else float("nan"), audio_seconds / dt, n_ticks)
+
+    return run_mode("full"), run_mode("incremental")
 
 
 def bench_serving(config, max_batch: int = 8, threads: int = 8,
@@ -717,13 +720,17 @@ def main():
             si_streams = 64 if quick else 256
             si_lib = 2048 if quick else 16384
             with timers.stage("streaming_identify"):
-                ticks_ps, tick_s, rt, n_ticks = bench_streaming_identify(
+                full_m, inc_m = bench_streaming_identify(
                     parity_cfg, n_streams=si_streams, lib_size=si_lib)
             details["streaming_identify"] = {
-                "ticks_per_sec": ticks_ps,
-                "median_tick_seconds": tick_s,
-                "realtime_factor_with_identify": rt,
-                "ticks": n_ticks,
+                "full": {"ticks_per_sec": full_m[0],
+                         "median_tick_seconds": full_m[1],
+                         "realtime_factor_with_identify": full_m[2],
+                         "ticks": full_m[3]},
+                "incremental": {"ticks_per_sec": inc_m[0],
+                                "median_tick_seconds": inc_m[1],
+                                "realtime_factor_with_identify": inc_m[2],
+                                "ticks": inc_m[3]},
                 "streams": si_streams, "library_size": si_lib,
             }
         except Exception as e:

@@ -52,7 +52,8 @@ class StreamingIdentifier:
     def __init__(self, library: FingerprintLibrary, batch: int,
                  chunk_size: int = 1024,
                  config: FingerprintConfig | None = None,
-                 match_every: int = 4, match_stream_group: int = 0):
+                 match_every: int = 4, match_stream_group: int = 0,
+                 rematch: str = "full", n_cap: int = 256):
         self.library = library
         self.config = config or FingerprintConfig()
         self.config.warn_if_unvalidated_for_identification()
@@ -66,6 +67,20 @@ class StreamingIdentifier:
         if match_stream_group and batch % match_stream_group:
             raise ValueError("match_stream_group must divide batch")
         self.match_stream_group = match_stream_group
+        #: "full" re-matches the whole accumulated fingerprint every tick
+        #: (O(n) in stream age); "incremental" maintains running diagonal
+        #: sums (streaming/incremental.py) at O(new subs) per tick with
+        #: bitwise-identical scores — the production mode for long-lived
+        #: streams.  Not supported for mesh-sharded libraries.
+        if rematch not in ("full", "incremental"):
+            raise ValueError(f"unknown rematch mode {rematch!r}")
+        if rematch == "incremental" and hasattr(library, "mesh"):
+            raise ValueError("incremental rematch does not support "
+                             "mesh-sharded libraries")
+        self.rematch = rematch
+        self._inc = None
+        self._inc_n_cap = n_cap
+        self._consumed = 0
         self.match_every = match_every
         self.batch = batch
         self._since_match = 0
@@ -122,6 +137,25 @@ class StreamingIdentifier:
             return
         pos, neg, n_sub = acc
         if n_sub == 0:
+            return
+        if self.rematch == "incremental":
+            from lbaudiodetective_tpu.streaming.incremental import (
+                IncrementalLibraryMatcher)
+
+            if self._inc is None:
+                self._inc = IncrementalLibraryMatcher(
+                    self.library, self.batch, n_cap=self._inc_n_cap,
+                    config=self.config,
+                    stream_group=self.match_stream_group)
+            if n_sub > self._consumed:
+                self._inc.update(pos[:, self._consumed:n_sub],
+                                 neg[:, self._consumed:n_sub])
+                self._consumed = n_sub
+            scores = self._inc.scores()
+            best = scores.argmax(axis=1)
+            for b in range(self.batch):
+                self._results[b] = StreamMatch(
+                    int(best[b]), float(scores[b, best[b]]), n_sub)
             return
         if self._sharded:
             # One collective dispatch over the mesh; queries clamp to the

@@ -1,0 +1,192 @@
+"""Incremental streaming library matching: O(new subfingerprints) per tick.
+
+The straightforward streaming identify loop re-matches every stream's FULL
+accumulated fingerprint against the library each tick
+(streaming/identify.py::_match_now) — per-tick cost grows linearly with
+stream age, O(n · S · L) for n accumulated subfingerprints.  But the
+quirk-Q10 offset-slide score (LBAudioDetectiveFingerprint.m:119-176) is a
+max over banded-diagonal MEANS, and each diagonal's sum is a running sum
+over query subfingerprints: a new subfingerprint only APPENDS terms.  This
+module maintains those diagonal sums as device state:
+
+  orientation A (entry is fp1, used while n <= n_lib):
+      D_A[b, e, d] = sum_{i<n} hits[e, d+i, i] * inv_lib[e, d+i]
+      new sub i adds its [S] column, shifted to diagonal origin
+  orientation B (query is fp1, used once n > n_lib):
+      D_B[b, e, d] = sum_{j<n_lib} hits[e, j, d+j] * inv_q[d+j]
+      new sub i adds its reversed [S] row at window [i-S+1, i]
+
+so each tick costs O(k · S · L) for k new subfingerprints — independent of
+stream age.  Scores are BITWISE equal to
+ops.match.match_one_vs_many_padded on the accumulated planes: hit counts
+are exact f32 integers (products are {0,1}, sums < 2^24), and the
+accumulation order over query subfingerprints (ascending arrival) is the
+same order `_both_orientation_scores` uses in its roll-sum loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.models.library import FingerprintLibrary
+from lbaudiodetective_tpu.ops.match import _pair_mask
+
+
+@partial(jax.jit, static_argnames=("comparison_range", "subfingerprint_length"))
+def _update_group(d_a, d_b, lib_pos, lib_neg, n_lib,
+                  qp_new, qn_new, k_valid, base,
+                  comparison_range: int, subfingerprint_length: int):
+    """Fold ``k`` new subfingerprints (per stream of one group) into the
+    diagonal accumulators.
+
+    d_a: [G, L, S]; d_b: [G, L, Dcap]; lib planes: [L, S, pairs] uint8;
+    qp_new/qn_new: [G, k, pairs] uint8; k_valid: scalar int32 (<= k);
+    base: scalar int32 — the arrival index of qp_new[:, 0].
+    """
+    g, l, s = d_a.shape
+    pairs = lib_pos.shape[-1]
+    k = qp_new.shape[1]
+    mask = jnp.asarray(_pair_mask(pairs, comparison_range,
+                                  subfingerprint_length))
+    mb = mask.astype(jnp.bfloat16)
+
+    lp = lib_pos.reshape(l * s, pairs).astype(jnp.bfloat16) * mb
+    ln = lib_neg.reshape(l * s, pairs).astype(jnp.bfloat16) * mb
+    qp = qp_new.astype(jnp.bfloat16)
+    qn = qn_new.astype(jnp.bfloat16)
+    # hits[gr, e, j, t]: same contraction as match_one_vs_many_padded
+    # ([L*S, pairs] @ [pairs, G*k]) — exact integers in f32.
+    hits = (jnp.dot(lp, qp.reshape(g * k, pairs).T,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(ln, qn.reshape(g * k, pairs).T,
+                      preferred_element_type=jnp.float32))
+    hits = hits.reshape(l, s, g, k).transpose(2, 0, 1, 3)      # [G, L, S, k]
+
+    w_lib = jnp.sum((lp + ln).astype(jnp.float32), axis=-1).reshape(l, s)
+    inv_lib = jnp.where(w_lib > 0.0, 1.0 / jnp.maximum(w_lib, 1.0), 0.0)
+    w_q = jnp.sum(((qp + qn) * mb).astype(jnp.float32), axis=-1)   # [G, k]
+    inv_q = jnp.where(w_q > 0.0, 1.0 / jnp.maximum(w_q, 1.0), 0.0)
+
+    d_idx = jnp.arange(s)
+    lib_row_valid = (d_idx[None, :] < n_lib[:, None]).astype(jnp.float32)
+
+    d_cap = d_b.shape[-1]
+    d_b_pad = jnp.pad(d_b, ((0, 0), (0, 0), (s, s)))
+    for t in range(k):                                # k is small and static
+        live = (t < k_valid).astype(jnp.float32)
+        i = base + t                                  # arrival index
+        # Orientation A: column i contributes sim_a[e, d+i] to diagonal d
+        # (dynamic left-shift with zero fill via pad + dynamic_slice).
+        col = hits[:, :, :, t] * inv_lib[None, :, :] * live    # [G, L, S]
+        shifted = jax.lax.dynamic_slice(
+            jnp.pad(col, ((0, 0), (0, 0), (0, s))), (0, 0, i), (g, l, s))
+        d_a = d_a + shifted
+        # Orientation B: row j of the library contributes at d = i - j;
+        # reversed row rev[sidx] = hits[.., s-1-sidx, t] lands at
+        # d = i - s + 1 + sidx, i.e. padded index i + 1 + sidx.
+        row = hits[:, :, :, t] * lib_row_valid[None, :, :] \
+            * inv_q[:, None, t, None] * live
+        rev = jnp.flip(row, axis=-1)
+        window = jax.lax.dynamic_slice(
+            d_b_pad, (0, 0, i + 1), (g, l, s))
+        d_b_pad = jax.lax.dynamic_update_slice(
+            d_b_pad, window + rev, (0, 0, i + 1))
+    d_b = jax.lax.dynamic_slice(d_b_pad, (0, 0, s), (g, l, d_cap))
+    return d_a, d_b
+
+
+@jax.jit
+def _scores_group(d_a, d_b, n_lib, n):
+    """[G, L] scores from the accumulators (selection + masks exactly as
+    ops.match._both_orientation_scores)."""
+    g, l, s = d_a.shape
+    d_cap = d_b.shape[-1]
+    nf = jnp.maximum(n, 1).astype(jnp.float32)
+    means_a = d_a / nf
+    valid_a = jnp.arange(s)[None, None, :] <= (n_lib[None, :] - n)[..., None]
+    score_a = jnp.max(jnp.where(valid_a, means_a, 0.0), axis=-1)
+    score_a = jnp.where(n > 0, score_a, 0.0)
+
+    means_b = d_b / jnp.maximum(n_lib, 1).astype(jnp.float32)[None, :, None]
+    valid_b = jnp.arange(d_cap)[None, None, :] <= (n - n_lib[None, :])[..., None]
+    score_b = jnp.max(jnp.where(valid_b, means_b, 0.0), axis=-1)
+    score_b = jnp.where(n_lib[None, :] > 0, score_b, 0.0)
+    return jnp.where(n_lib[None, :] < n, score_b, score_a)
+
+
+class IncrementalLibraryMatcher:
+    """Running Q10 scores of ``batch`` growing queries vs a library.
+
+    ``update(new_pos, new_neg, k_valid)`` folds the next ``k_valid``
+    subfingerprints of every stream in (arrays may be padded along the
+    subfingerprint axis); ``scores()`` returns the ``[batch, L]`` match
+    scores of each stream's full accumulated fingerprint — bitwise equal to
+    ``match_one_vs_many_padded`` on those planes, at O(k) per update
+    instead of O(n).
+
+    ``n_cap`` bounds stream age (accumulated subfingerprints beyond it
+    would need orientation-B diagonals past the allocated window; update
+    raises).  ``stream_group`` > 0 processes streams in groups of that size
+    (bounds the [G, L, S, k] hit transient); state is held per group.
+    """
+
+    def __init__(self, library: FingerprintLibrary, batch: int,
+                 n_cap: int = 256, config: FingerprintConfig | None = None,
+                 comparison_range: int = 0, stream_group: int = 0):
+        from lbaudiodetective_tpu.utils import packing
+
+        self.config = config or FingerprintConfig()
+        self.library = library
+        self.batch = batch
+        self.n_cap = n_cap
+        self.comparison_range = comparison_range
+        g = stream_group or batch
+        if batch % g:
+            raise ValueError("stream_group must divide batch")
+        self.group = g
+        self._lib_pos = jnp.asarray(packing.unpack_bits(
+            np.asarray(library.pos_words), library.pairs))
+        self._lib_neg = jnp.asarray(packing.unpack_bits(
+            np.asarray(library.neg_words), library.pairs))
+        self._n_lib = jnp.asarray(library.counts)
+        l = len(library)
+        s = int(self._lib_pos.shape[1])
+        self._state = [
+            (jnp.zeros((g, l, s), jnp.float32),
+             jnp.zeros((g, l, n_cap), jnp.float32))
+            for _ in range(batch // g)]
+        self.n = 0
+
+    def update(self, new_pos: np.ndarray, new_neg: np.ndarray,
+               k_valid: int | None = None) -> None:
+        """new_pos/new_neg: [batch, k, pairs] uint8 (zero-padded beyond
+        ``k_valid``); every stream advances by the same ``k_valid`` (the
+        lockstep-extractor contract)."""
+        k = int(new_pos.shape[1])
+        k_valid = k if k_valid is None else int(k_valid)
+        if self.n + k_valid > self.n_cap:
+            raise ValueError(
+                f"stream age {self.n + k_valid} exceeds n_cap={self.n_cap}")
+        g = self.group
+        for gi in range(self.batch // g):
+            d_a, d_b = self._state[gi]
+            self._state[gi] = _update_group(
+                d_a, d_b, self._lib_pos, self._lib_neg, self._n_lib,
+                jnp.asarray(new_pos[gi * g:(gi + 1) * g]),
+                jnp.asarray(new_neg[gi * g:(gi + 1) * g]),
+                jnp.int32(k_valid), jnp.int32(self.n),
+                self.comparison_range, self.config.subfingerprint_length)
+        self.n += k_valid
+
+    def scores(self) -> np.ndarray:
+        """[batch, L] running match scores."""
+        parts = [np.asarray(_scores_group(d_a, d_b, self._n_lib,
+                                          jnp.int32(self.n)))
+                 for d_a, d_b in self._state]
+        return np.concatenate(parts, axis=0)

@@ -1,0 +1,147 @@
+"""Incremental streaming matcher (streaming/incremental.py): running
+diagonal-sum scores must be BITWISE equal to the full batch re-match at
+every tick — hit counts are exact f32 integers and the accumulation order
+over query subfingerprints matches _both_orientation_scores' roll loop."""
+
+import numpy as np
+import pytest
+
+from lbaudiodetective_tpu.config import FingerprintConfig
+from lbaudiodetective_tpu.models.fingerprint import Fingerprint
+from lbaudiodetective_tpu.models.library import FingerprintLibrary
+from lbaudiodetective_tpu.ops.match import match_one_vs_many_padded
+from lbaudiodetective_tpu.streaming.incremental import (
+    IncrementalLibraryMatcher)
+
+
+def _random_planes(rng, n, pairs):
+    pos = (rng.random((n, pairs)) < 0.45).astype(np.uint8)
+    neg = ((rng.random((n, pairs)) < 0.45) & (pos == 0)).astype(np.uint8)
+    return pos, neg
+
+
+def _full_scores(lib, qpos, qneg, n, s_pad, comparison_range=0):
+    """Reference: the batch matcher on the accumulated planes."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbaudiodetective_tpu.utils import packing
+
+    lp = packing.unpack_bits(np.asarray(lib.pos_words), lib.pairs)
+    ln = packing.unpack_bits(np.asarray(lib.neg_words), lib.pairs)
+    b = qpos.shape[0]
+    qp = np.zeros((b, s_pad, lib.pairs), np.uint8)
+    qn = np.zeros_like(qp)
+    qp[:, :n] = qpos[:, :n]
+    qn[:, :n] = qneg[:, :n]
+    batched = jax.vmap(match_one_vs_many_padded,
+                       in_axes=(0, 0, 0, None, None, None, None, None))
+    return np.asarray(batched(
+        jnp.asarray(qp), jnp.asarray(qn), jnp.full((b,), n, np.int32),
+        jnp.asarray(lp), jnp.asarray(ln), lib.counts, comparison_range,
+        200))
+
+
+@pytest.mark.parametrize("comparison_range", [0, 64])
+def test_incremental_equals_full_every_tick(comparison_range):
+    """Streams growing past the library entry lengths (both orientations +
+    the crossover), variable subfingerprints per tick, grouped streams."""
+    rng = np.random.default_rng(5)
+    pairs, s_lib, l, b = 100, 12, 24, 4
+    # Entry lengths straddle the stream's final age (orientation coverage),
+    # including an empty-ish and a full-bucket entry.
+    sizes = [1, 3, 6, 9, 12] * 5
+    fps = []
+    for n in sizes[:l]:
+        p, q = _random_planes(rng, s_lib, pairs)
+        p[n:] = 0
+        q[n:] = 0
+        fps.append(Fingerprint(p[:n], q[:n]))
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+
+    n_total = 20                               # > max entry length (12)
+    qpos, qneg = np.zeros((b, n_total, pairs), np.uint8), \
+        np.zeros((b, n_total, pairs), np.uint8)
+    for i in range(b):
+        qpos[i], qneg[i] = _random_planes(rng, n_total, pairs)
+    # Plant a near-duplicate: stream 0 echoes entry 3 shifted by 2.
+    e3p, e3n = np.asarray(fps[3].pos), np.asarray(fps[3].neg)
+    qpos[0, 2:2 + e3p.shape[0]] = e3p
+    qneg[0, 2:2 + e3n.shape[0]] = e3n
+
+    inc = IncrementalLibraryMatcher(lib, batch=b, n_cap=n_total,
+                                    comparison_range=comparison_range,
+                                    stream_group=2)
+    n = 0
+    ticks = [3, 1, 4, 2, 5, 5]                 # mixed k, sums to 20
+    for k in ticks:
+        # Padded update: hand two extra zero columns + k_valid.
+        pad_k = k + 2
+        np_pos = np.zeros((b, pad_k, pairs), np.uint8)
+        np_neg = np.zeros_like(np_pos)
+        np_pos[:, :k] = qpos[:, n:n + k]
+        np_neg[:, :k] = qneg[:, n:n + k]
+        inc.update(np_pos, np_neg, k_valid=k)
+        n += k
+        got = inc.scores()
+        want = _full_scores(lib, qpos, qneg, n, n_total, comparison_range)
+        np.testing.assert_array_equal(got, want), (n, comparison_range)
+    # The planted echo wins for stream 0 once enough of it has streamed in.
+    assert int(got[0].argmax()) == 3
+    assert got[0, 3] > 0.9
+
+
+def test_incremental_n_cap_guard():
+    rng = np.random.default_rng(0)
+    pairs = 100
+    p, q = _random_planes(rng, 4, pairs)
+    lib = FingerprintLibrary.from_fingerprints(
+        [Fingerprint(p, q)], FingerprintConfig())
+    inc = IncrementalLibraryMatcher(lib, batch=1, n_cap=4)
+    pos = np.zeros((1, 3, pairs), np.uint8)
+    inc.update(pos, pos)
+    with pytest.raises(ValueError, match="n_cap"):
+        inc.update(pos, pos)
+
+
+def test_streaming_identifier_incremental_mode(decoded_corpus,
+                                               default_config):
+    """StreamingIdentifier(rematch='incremental') produces the same
+    per-stream winners and scores as the full-rematch mode on real corpus
+    streams."""
+    from tests.conftest import BIRDS
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+    from lbaudiodetective_tpu.streaming import StreamingIdentifier
+
+    fps = []
+    for bird in BIRDS[:4]:
+        pos, neg, k = extract_fingerprint(decoded_corpus[bird],
+                                          default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:k]),
+                                           np.asarray(neg[:k])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+
+    batch, chunk = 2, 1024
+    clips = [decoded_corpus[BIRDS[0] + "_eql"],
+             decoded_corpus[BIRDS[3] + "_eql"]]
+    total = min(c.samples.shape[0] for c in clips)
+    n_steps = total // chunk
+    audio = np.stack([c.samples[: n_steps * chunk] for c in clips])
+
+    full = StreamingIdentifier(lib, batch=batch, chunk_size=chunk,
+                               config=default_config, match_every=2)
+    incr = StreamingIdentifier(lib, batch=batch, chunk_size=chunk,
+                               config=default_config, match_every=2,
+                               rematch="incremental")
+    for s in range(n_steps):
+        full.feed(audio[:, s * chunk:(s + 1) * chunk])
+        incr.feed(audio[:, s * chunk:(s + 1) * chunk])
+    rf, ri = full.finalize(), incr.finalize()
+    for a, c in zip(rf, ri):
+        assert a.track == c.track
+        assert a.score == pytest.approx(c.score, abs=1e-7)
+        assert a.n_subfingerprints == c.n_subfingerprints
+    assert ri[0].track == 0 and ri[1].track == 3
+
+    with pytest.raises(ValueError, match="rematch"):
+        StreamingIdentifier(lib, batch=2, rematch="nope")

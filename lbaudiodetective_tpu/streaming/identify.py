@@ -71,12 +71,10 @@ class StreamingIdentifier:
         #: (O(n) in stream age); "incremental" maintains running diagonal
         #: sums (streaming/incremental.py) at O(new subs) per tick with
         #: bitwise-identical scores — the production mode for long-lived
-        #: streams.  Not supported for mesh-sharded libraries.
+        #: streams.  With a mesh-sharded library the incremental state
+        #: shards along the library axis (no per-tick collectives).
         if rematch not in ("full", "incremental"):
             raise ValueError(f"unknown rematch mode {rematch!r}")
-        if rematch == "incremental" and hasattr(library, "mesh"):
-            raise ValueError("incremental rematch does not support "
-                             "mesh-sharded libraries")
         self.rematch = rematch
         self._inc = None
         self._inc_n_cap = n_cap

@@ -22,6 +22,14 @@ ops.match.match_one_vs_many_padded on the accumulated planes: hit counts
 are exact f32 integers (products are {0,1}, sums < 2^24), and the
 accumulation order over query subfingerprints (ascending arrival) is the
 same order `_both_orientation_scores` uses in its roll-sum loop.
+
+Mesh scaling: every update/score op is elementwise or batched along the
+library axis, so with a :class:`ShardedFingerprintLibrary` the planes AND
+the diagonal state shard over the mesh's ``"library"`` axis with ZERO
+per-tick collectives (the only cross-device traffic is the [batch, L]
+score fetch).  The state is the scaling pressure — batch·L·(S + n_cap)·4
+bytes (e.g. 256 streams × 16k entries × (32+256) diags ≈ 4.7 GB) — and
+library-axis sharding divides it across the pod.
 """
 
 from __future__ import annotations
@@ -134,9 +142,13 @@ class IncrementalLibraryMatcher:
     would need orientation-B diagonals past the allocated window; update
     raises).  ``stream_group`` > 0 processes streams in groups of that size
     (bounds the [G, L, S, k] hit transient); state is held per group.
+
+    A :class:`~..parallel.sharded_library.ShardedFingerprintLibrary` is
+    accepted too: planes and diagonal state then shard along the mesh's
+    ``"library"`` axis (pure data parallelism — no per-tick collectives).
     """
 
-    def __init__(self, library: FingerprintLibrary, batch: int,
+    def __init__(self, library, batch: int,
                  n_cap: int = 256, config: FingerprintConfig | None = None,
                  comparison_range: int = 0, stream_group: int = 0):
         from lbaudiodetective_tpu.utils import packing
@@ -150,17 +162,43 @@ class IncrementalLibraryMatcher:
         if batch % g:
             raise ValueError("stream_group must divide batch")
         self.group = g
-        self._lib_pos = jnp.asarray(packing.unpack_bits(
-            np.asarray(library.pos_words), library.pairs))
-        self._lib_neg = jnp.asarray(packing.unpack_bits(
-            np.asarray(library.neg_words), library.pairs))
-        self._n_lib = jnp.asarray(library.counts)
-        l = len(library)
-        s = int(self._lib_pos.shape[1])
-        self._state = [
-            (jnp.zeros((g, l, s), jnp.float32),
-             jnp.zeros((g, l, n_cap), jnp.float32))
-            for _ in range(batch // g)]
+        mesh = getattr(library, "mesh", None)
+        inner = library.inner if mesh is not None else library
+        self.pairs = inner.pairs
+        pos_u8 = packing.unpack_bits(np.asarray(inner.pos_words), inner.pairs)
+        neg_u8 = packing.unpack_bits(np.asarray(inner.neg_words), inner.pairs)
+        counts = np.asarray(inner.counts)
+        self._true_l = len(inner)
+        s = int(pos_u8.shape[1])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            pad = (-self._true_l) % mesh.shape["library"]
+            if pad:   # padded entries carry count 0 -> always score 0
+                pos_u8 = np.pad(pos_u8, ((0, pad), (0, 0), (0, 0)))
+                neg_u8 = np.pad(neg_u8, ((0, pad), (0, 0), (0, 0)))
+                counts = np.pad(counts, (0, pad))
+            lib_sh = NamedSharding(mesh, P("library", None, None))
+            self._lib_pos = jax.device_put(pos_u8, lib_sh)
+            self._lib_neg = jax.device_put(neg_u8, lib_sh)
+            self._n_lib = jax.device_put(counts,
+                                         NamedSharding(mesh, P("library")))
+            sh_a = NamedSharding(mesh, P(None, "library", None))
+            l = pos_u8.shape[0]
+            make_state = jax.jit(
+                lambda: (jnp.zeros((g, l, s), jnp.float32),
+                         jnp.zeros((g, l, n_cap), jnp.float32)),
+                out_shardings=(sh_a, sh_a))
+            self._state = [make_state() for _ in range(batch // g)]
+        else:
+            self._lib_pos = jnp.asarray(pos_u8)
+            self._lib_neg = jnp.asarray(neg_u8)
+            self._n_lib = jnp.asarray(counts)
+            l = self._true_l
+            self._state = [
+                (jnp.zeros((g, l, s), jnp.float32),
+                 jnp.zeros((g, l, n_cap), jnp.float32))
+                for _ in range(batch // g)]
         self.n = 0
 
     def update(self, new_pos: np.ndarray, new_neg: np.ndarray,
@@ -185,8 +223,8 @@ class IncrementalLibraryMatcher:
         self.n += k_valid
 
     def scores(self) -> np.ndarray:
-        """[batch, L] running match scores."""
+        """[batch, L] running match scores (padded mesh entries trimmed)."""
         parts = [np.asarray(_scores_group(d_a, d_b, self._n_lib,
                                           jnp.int32(self.n)))
                  for d_a, d_b in self._state]
-        return np.concatenate(parts, axis=0)
+        return np.concatenate(parts, axis=0)[:, :self._true_l]

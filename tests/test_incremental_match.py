@@ -145,3 +145,96 @@ def test_streaming_identifier_incremental_mode(decoded_corpus,
 
     with pytest.raises(ValueError, match="rematch"):
         StreamingIdentifier(lib, batch=2, rematch="nope")
+
+
+def test_incremental_sharded_library_equals_plain():
+    """Library-axis-sharded incremental state (8-device mesh, padded entry
+    count) must reproduce the single-device incremental scores bitwise at
+    every tick — the update is pure data parallelism along L."""
+    import jax
+
+    from lbaudiodetective_tpu.parallel.mesh import make_mesh
+    from lbaudiodetective_tpu.parallel.sharded_library import (
+        ShardedFingerprintLibrary)
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(9)
+    pairs, s_lib, b = 100, 10, 4
+    # 13 entries: NOT a multiple of the 4-way library axis (pad coverage).
+    sizes = [1, 2, 4, 7, 10, 3, 5, 8, 10, 6, 2, 9, 4]
+    fps = []
+    for n in sizes:
+        p, q = _random_planes(rng, n, pairs)
+        fps.append(Fingerprint(p, q))
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+    mesh = make_mesh(8, library_parallelism=4)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+
+    n_total = 14
+    qpos = np.zeros((b, n_total, pairs), np.uint8)
+    qneg = np.zeros_like(qpos)
+    for i in range(b):
+        qpos[i], qneg[i] = _random_planes(rng, n_total, pairs)
+    qpos[1, 1:1 + sizes[7]] = np.asarray(fps[7].pos)   # planted echo
+    qneg[1, 1:1 + sizes[7]] = np.asarray(fps[7].neg)
+
+    plain = IncrementalLibraryMatcher(lib, batch=b, n_cap=n_total)
+    shard = IncrementalLibraryMatcher(slib, batch=b, n_cap=n_total,
+                                      stream_group=2)
+    n = 0
+    for k in (3, 1, 4, 6):
+        plain.update(qpos[:, n:n + k], qneg[:, n:n + k])
+        shard.update(qpos[:, n:n + k], qneg[:, n:n + k])
+        n += k
+        got, want = shard.scores(), plain.scores()
+        assert got.shape == (b, len(fps))          # pad trimmed
+        np.testing.assert_array_equal(got, want)
+    assert int(got[1].argmax()) == 7
+
+
+def test_streaming_identifier_incremental_sharded(decoded_corpus,
+                                                  default_config):
+    """StreamingIdentifier(rematch='incremental') over a mesh-sharded
+    library matches the full-rematch sharded identifier on corpus
+    streams."""
+    import jax
+
+    from tests.conftest import BIRDS
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+    from lbaudiodetective_tpu.parallel.mesh import make_mesh
+    from lbaudiodetective_tpu.parallel.sharded_library import (
+        ShardedFingerprintLibrary)
+    from lbaudiodetective_tpu.streaming import StreamingIdentifier
+
+    assert len(jax.devices()) == 8
+    fps = []
+    for bird in BIRDS[:4]:
+        pos, neg, k = extract_fingerprint(decoded_corpus[bird],
+                                          default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:k]),
+                                           np.asarray(neg[:k])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    mesh = make_mesh(8, library_parallelism=4)
+    slib = ShardedFingerprintLibrary(lib, mesh)
+
+    batch, chunk = 2, 1024
+    clips = [decoded_corpus[BIRDS[0] + "_eql"],
+             decoded_corpus[BIRDS[3] + "_eql"]]
+    total = min(c.samples.shape[0] for c in clips)
+    n_steps = total // chunk
+    audio = np.stack([c.samples[: n_steps * chunk] for c in clips])
+
+    full = StreamingIdentifier(slib, batch=batch, chunk_size=chunk,
+                               config=default_config, match_every=2)
+    incr = StreamingIdentifier(slib, batch=batch, chunk_size=chunk,
+                               config=default_config, match_every=2,
+                               rematch="incremental")
+    for s in range(n_steps):
+        full.feed(audio[:, s * chunk:(s + 1) * chunk])
+        incr.feed(audio[:, s * chunk:(s + 1) * chunk])
+    rf, ri = full.finalize(), incr.finalize()
+    for a, c in zip(rf, ri):
+        assert a.track == c.track
+        assert a.score == pytest.approx(c.score, abs=1e-6)
+        assert a.n_subfingerprints == c.n_subfingerprints
+    assert ri[0].track == 0 and ri[1].track == 3

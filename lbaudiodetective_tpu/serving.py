@@ -20,6 +20,14 @@ Endpoints (JSON unless noted):
                               the essay's actual protocol (the phone
                               fingerprints locally, the server only
                               matches); match-only, no extraction dispatch
+  POST /stream/open           -> {"session": id} — live-recognition session
+  POST /stream/<id>           body: fingerprint string of the NEW
+                              subfingerprints since the last post ->
+                              running {"track", "score", "top", "n"};
+                              scores are EXACTLY the full rematch of the
+                              accumulated fingerprint (incremental
+                              diagonal state, O(new subs) per post)
+  POST /stream/<id>/close     final result; frees the session state
 
 No third-party dependencies (stdlib ``http.server``); thread-safe because
 the library is immutable after construction and JAX dispatch is serialised
@@ -66,7 +74,8 @@ class IdentificationService:
                  config: FingerprintConfig | None = None,
                  batch_window_s: float = 0.0, max_batch: int = 8,
                  search_threshold: int = 4096, top_k: int = 5,
-                 n_sub_cap: int = 0):
+                 n_sub_cap: int = 0, stream_cap: int = 256,
+                 max_sessions: int = 64):
         if len(names) != len(library):
             raise errors.InvalidArgumentError("names must match library size")
         self.library = library
@@ -89,6 +98,12 @@ class IdentificationService:
         self.n_sub_cap = n_sub_cap
         #: Number of extraction device dispatches (observability + tests).
         self.extract_dispatches = 0
+        # Live-recognition streaming sessions (see stream_open below).
+        self.stream_cap = stream_cap
+        self.max_sessions = max_sessions
+        self._slock = threading.Lock()
+        self._sessions: dict[str, dict] = {}
+        self._template = None
 
     @property
     def _use_search(self) -> bool:
@@ -143,31 +158,11 @@ class IdentificationService:
         The essay's actual client/server division of labour (PDF §3.2.5):
         the iPhone fingerprints locally and uploads the fingerprint; the
         server only matches.  Match-only path — no decode or extraction
-        dispatch happens server-side.
+        dispatch happens server-side.  A consistent-but-wrong
+        per-subfingerprint length would fail deep in the packed matcher as
+        an opaque 500, so the parser rejects it up front.
         """
-        try:
-            text = payload.decode("ascii")
-        except UnicodeDecodeError as e:
-            raise errors.InvalidArgumentError(
-                f"fingerprint payload is not ASCII: {e}") from None
-        text = text.strip()
-        if text and set(text) - set("01+"):
-            raise errors.InvalidArgumentError(
-                "fingerprint string may contain only '0', '1' and '+'")
-        # A consistent-but-wrong per-subfingerprint length parses fine but
-        # builds a query whose pair count mismatches the library, failing
-        # deep in the packed matcher as an opaque 500 — reject it up front.
-        first = text.split("+", 1)[0] if text else ""
-        if first and len(first) != self.config.subfingerprint_length:
-            raise errors.InvalidArgumentError(
-                f"fingerprint subfingerprint length {len(first)} does not "
-                f"match server config ({self.config.subfingerprint_length})")
-        try:
-            fp = Fingerprint.from_string(
-                text, self.config.subfingerprint_length)
-        except ValueError as e:                 # ragged subfingerprints
-            raise errors.InvalidArgumentError(str(e)) from None
-        return self._respond(fp)
+        return self._respond(self._parse_fingerprint_text(payload))
 
     # -- micro-batching -----------------------------------------------------
 
@@ -273,6 +268,104 @@ class IdentificationService:
     def health(self) -> dict:
         return {"ok": True, "tracks": len(self.library)}
 
+    # -- live-recognition streaming sessions ---------------------------------
+    #
+    # The essay's Whistles loop as a server protocol: the phone fingerprints
+    # locally and posts only the NEW subfingerprints of its ongoing recording;
+    # the server folds them into per-session incremental diagonal state
+    # (streaming/incremental.py) and answers with the running best match —
+    # exactly what a full rematch of the accumulated fingerprint would score,
+    # at O(new subs) device work per post.  State per session is
+    # L x (S + stream_cap) f32 diagonals (~18 MB at 16k tracks, cap 256),
+    # so sessions are capped and idle ones evicted LRU.
+
+    def _parse_fingerprint_text(self, payload: bytes) -> Fingerprint:
+        try:
+            text = payload.decode("ascii")
+        except UnicodeDecodeError as e:
+            raise errors.InvalidArgumentError(
+                f"fingerprint payload is not ASCII: {e}") from None
+        text = text.strip()
+        if text and set(text) - set("01+"):
+            raise errors.InvalidArgumentError(
+                "fingerprint string may contain only '0', '1' and '+'")
+        first = text.split("+", 1)[0] if text else ""
+        if first and len(first) != self.config.subfingerprint_length:
+            raise errors.InvalidArgumentError(
+                f"fingerprint subfingerprint length {len(first)} does not "
+                f"match server config ({self.config.subfingerprint_length})")
+        try:
+            return Fingerprint.from_string(
+                text, self.config.subfingerprint_length)
+        except ValueError as e:                 # ragged subfingerprints
+            raise errors.InvalidArgumentError(str(e)) from None
+
+    def stream_open(self) -> dict:
+        import time
+        import uuid
+
+        with self._slock:
+            if self._template is None:
+                from lbaudiodetective_tpu.streaming.incremental import (
+                    IncrementalLibraryMatcher)
+
+                self._template = IncrementalLibraryMatcher(
+                    self.library, batch=1, n_cap=self.stream_cap,
+                    config=self.config)
+            if len(self._sessions) >= self.max_sessions:
+                # Evict the least-recently-used idle session.
+                victim = min(self._sessions, key=lambda k:
+                             self._sessions[k]["t"])
+                del self._sessions[victim]
+            sid = uuid.uuid4().hex[:16]
+            self._sessions[sid] = {"m": self._template.clone_empty(),
+                                   "t": time.monotonic(),
+                                   "lock": threading.Lock()}
+        return {"session": sid}
+
+    def _stream_session(self, sid: str) -> dict:
+        with self._slock:
+            sess = self._sessions.get(sid)
+        if sess is None:
+            raise errors.InvalidArgumentError(f"unknown session {sid!r}")
+        return sess
+
+    def stream_update(self, sid: str, payload: bytes) -> dict:
+        import time
+
+        sess = self._stream_session(sid)
+        fp = self._parse_fingerprint_text(payload)
+        k = fp.num_subfingerprints
+        with sess["lock"]:
+            m = sess["m"]
+            if k:
+                if m.n + k > m.n_cap:
+                    raise errors.InvalidArgumentError(
+                        f"stream age {m.n + k} exceeds the session cap "
+                        f"({m.n_cap}); close and re-open")
+                m.update(np.asarray(fp.pos)[None], np.asarray(fp.neg)[None])
+            sess["t"] = time.monotonic()
+            return self._stream_result(m)
+
+    def _stream_result(self, m) -> dict:
+        if m.n == 0:
+            return {"track": None, "score": 0.0, "top": [], "n": 0}
+        scores = m.scores()[0]
+        order = np.argsort(-scores)[: self.top_k]
+        return {"track": self.names[int(order[0])],
+                "score": float(scores[order[0]]),
+                "top": [{"track": self.names[int(i)],
+                         "score": float(scores[i])} for i in order],
+                "n": int(m.n)}
+
+    def stream_close(self, sid: str) -> dict:
+        with self._slock:
+            sess = self._sessions.pop(sid, None)
+        if sess is None:
+            raise errors.InvalidArgumentError(f"unknown session {sid!r}")
+        with sess["lock"]:
+            return self._stream_result(sess["m"])
+
 
 def make_server(service: IdentificationService, host: str = "127.0.0.1",
                 port: int = 0) -> ThreadingHTTPServer:
@@ -304,6 +397,15 @@ def make_server(service: IdentificationService, host: str = "127.0.0.1",
                     self._send(200, service.identify_fingerprint(payload))
                 elif self.path == "/fingerprint":
                     self._send(200, service.fingerprint(payload))
+                elif self.path == "/stream/open":
+                    self._send(200, service.stream_open())
+                elif (self.path.startswith("/stream/")
+                      and self.path.endswith("/close")):
+                    sid = self.path[len("/stream/"):-len("/close")]
+                    self._send(200, service.stream_close(sid))
+                elif self.path.startswith("/stream/"):
+                    sid = self.path[len("/stream/"):]
+                    self._send(200, service.stream_update(sid, payload))
                 else:
                     self._send(404, {"error": "not found"})
             except errors.AudioDetectiveError as e:

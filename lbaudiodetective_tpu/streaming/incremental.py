@@ -201,6 +201,31 @@ class IncrementalLibraryMatcher:
                 for _ in range(batch // g)]
         self.n = 0
 
+    def clone_empty(self) -> "IncrementalLibraryMatcher":
+        """A fresh-state matcher SHARING this one's device-resident library
+        planes (the expensive part: unpack + placement).  Serving keeps one
+        template per library and mints per-session clones from it."""
+        new = object.__new__(IncrementalLibraryMatcher)
+        new.__dict__.update(self.__dict__)
+        g, l = self.group, self._lib_pos.shape[0]
+        s = int(self._lib_pos.shape[1])
+        if getattr(self.library, "mesh", None) is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh_a = NamedSharding(self.library.mesh, P(None, "library", None))
+            make_state = jax.jit(
+                lambda: (jnp.zeros((g, l, s), jnp.float32),
+                         jnp.zeros((g, l, self.n_cap), jnp.float32)),
+                out_shardings=(sh_a, sh_a))
+            new._state = [make_state() for _ in range(self.batch // g)]
+        else:
+            new._state = [
+                (jnp.zeros((g, l, s), jnp.float32),
+                 jnp.zeros((g, l, self.n_cap), jnp.float32))
+                for _ in range(self.batch // g)]
+        new.n = 0
+        return new
+
     def update(self, new_pos: np.ndarray, new_neg: np.ndarray,
                k_valid: int | None = None) -> None:
         """new_pos/new_neg: [batch, k, pairs] uint8 (zero-padded beyond

@@ -428,3 +428,91 @@ def test_identify_fingerprint_rejects_bad_payloads(server):
         status, body = _post(server, "/identify-fingerprint", bad)
         assert status == 400, bad
         assert "error" in body
+
+
+def test_stream_session_incremental_identify(server):
+    """Live-recognition sessions: posting a fingerprint in increments must
+    converge on the right track, the final running score must EXACTLY
+    equal the one-shot /identify-fingerprint score of the whole string,
+    and close frees the session."""
+    payload = open(corpus_path("BlueTit_eql"), "rb").read()
+    _, fp_body = _post(server, "/fingerprint", payload)
+    _, oneshot = _post(server, "/identify-fingerprint",
+                       fp_body["fingerprint"].encode())
+    subs = fp_body["fingerprint"].split("+")
+
+    status, body = _post(server, "/stream/open", b"")
+    assert status == 200
+    sid = body["session"]
+
+    # Post in uneven increments (3, 1, 7, rest...).
+    cuts, i = [3, 1, 7], 0
+    n_seen = 0
+    while i < len(subs):
+        k = cuts.pop(0) if cuts else len(subs) - i
+        status, body = _post(server, f"/stream/{sid}",
+                             "+".join(subs[i:i + k]).encode())
+        assert status == 200
+        i += k
+        n_seen = body["n"]
+        assert n_seen == i
+    assert body["track"] == "BlueTit"
+    assert body["score"] == pytest.approx(oneshot["score"], abs=1e-7)
+    top_tracks = {t["track"]: t["score"] for t in body["top"]}
+    for name, s in top_tracks.items():
+        assert s == pytest.approx(oneshot["scores"][name], abs=1e-7)
+
+    # Empty post = heartbeat: state unchanged.
+    status, beat = _post(server, f"/stream/{sid}", b"")
+    assert status == 200 and beat["n"] == n_seen
+
+    status, final = _post(server, f"/stream/{sid}/close", b"")
+    assert status == 200 and final["track"] == "BlueTit"
+    # Session gone now.
+    status, body = _post(server, f"/stream/{sid}", subs[0].encode())
+    assert status == 400
+
+
+def test_stream_session_errors_and_eviction(decoded_corpus, default_config):
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+
+    fps = []
+    for b in BIRDS[:2]:
+        pos, neg, n = extract_fingerprint(decoded_corpus[b], default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:n]),
+                                           np.asarray(neg[:n])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    svc = IdentificationService(lib, BIRDS[:2], default_config,
+                                stream_cap=4, max_sessions=2)
+
+    # Unknown session.
+    import pytest as _pytest
+
+    from lbaudiodetective_tpu import errors as _errors
+
+    with _pytest.raises(_errors.InvalidArgumentError):
+        svc.stream_update("nope", b"01")
+
+    sub = "01" * (default_config.subfingerprint_length // 2)
+    sid = svc.stream_open()["session"]
+    svc.stream_update(sid, ("+".join([sub] * 3)).encode())
+    # Cap exceeded -> 400-class error, state intact at n=3.
+    with _pytest.raises(_errors.InvalidArgumentError, match="cap"):
+        svc.stream_update(sid, ("+".join([sub] * 2)).encode())
+    assert svc.stream_update(sid, sub.encode())["n"] == 4
+
+    # Bad payloads are rejected by the shared parser.
+    with _pytest.raises(_errors.InvalidArgumentError):
+        svc.stream_update(sid, b"01x")
+    with _pytest.raises(_errors.InvalidArgumentError):
+        svc.stream_update(sid, b"0101")          # wrong length
+
+    # LRU eviction at max_sessions: opening a third evicts the oldest.
+    s2 = svc.stream_open()["session"]
+    s3 = svc.stream_open()["session"]
+    assert len(svc._sessions) == 2
+    with _pytest.raises(_errors.InvalidArgumentError, match="unknown"):
+        svc.stream_close(sid)                    # evicted
+    svc.stream_close(s2)
+    svc.stream_close(s3)
+    assert not svc._sessions

@@ -250,6 +250,40 @@ def cmd_client(args) -> int:
         return 2
 
 
+def cmd_listen(args) -> int:
+    """Live recognition against a running server: fingerprint the clip
+    locally, then stream it to ``/stream/<id>`` in increments the way the
+    essay's app posts its ongoing recording — printing the running best
+    match after every post (serving.py streaming sessions)."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    def post(path, payload=b""):
+        req = urllib.request.Request(args.url.rstrip("/") + path,
+                                     data=payload)
+        with urllib.request.urlopen(req, timeout=args.timeout) as r:
+            return _json.loads(r.read().decode())
+
+    fp, _ = _extract(args.clip)
+    subs = fp.to_string().split("+") if fp.num_subfingerprints else []
+    try:
+        sid = post("/stream/open")["session"]
+        for i in range(0, len(subs), args.chunk):
+            body = post(f"/stream/{sid}",
+                        "+".join(subs[i:i + args.chunk]).encode("ascii"))
+            print(f"[{body['n']:4d} subs] {body['track']} "
+                  f"{body['score']:.4f}", file=sys.stderr)
+        print(_json.dumps(post(f"/stream/{sid}/close")))
+        return 0
+    except urllib.error.HTTPError as e:
+        print(e.read().decode(), file=sys.stderr)
+        return 1
+    except urllib.error.URLError as e:
+        print(f"cannot reach {args.url}: {e.reason}", file=sys.stderr)
+        return 2
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="lbaudiodetective_tpu",
                                 description=__doc__.split("\n", 1)[0])
@@ -329,6 +363,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "extraction protocol)")
     cl.add_argument("--timeout", type=float, default=120.0)
     cl.set_defaults(fn=cmd_client)
+
+    li = sub.add_parser("listen", help="stream a clip's fingerprint to a "
+                        "running server in increments (live recognition)")
+    li.add_argument("clip")
+    li.add_argument("--url", default="http://127.0.0.1:8414")
+    li.add_argument("--chunk", type=int, default=4, metavar="K",
+                    help="subfingerprints per post")
+    li.add_argument("--timeout", type=float, default=120.0)
+    li.set_defaults(fn=cmd_listen)
     return p
 
 

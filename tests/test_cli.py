@@ -108,6 +108,14 @@ def test_client_server_roundtrip(tiny_corpus, tmp_path, capsys):
         # Unreachable server: exit code 2, not a traceback.
         assert main(["client", crop, "--url", "http://127.0.0.1:1",
                      "--timeout", "2"]) == 2
+        # Live recognition: stream the fingerprint in increments, the
+        # final close result agrees with the one-shot identification.
+        assert main(["listen", crop, "--url", url, "--chunk", "3"]) == 0
+        streamed = json.loads(capsys.readouterr().out.strip())
+        assert streamed["track"] == "BlackBird"
+        assert streamed["score"] == pytest.approx(out_fp["score"], abs=1e-6)
+        assert main(["listen", crop, "--url", "http://127.0.0.1:1",
+                     "--timeout", "2"]) == 2
     finally:
         srv.shutdown()
 

@@ -191,6 +191,18 @@ def test_incremental_sharded_library_equals_plain():
         np.testing.assert_array_equal(got, want)
     assert int(got[1].argmax()) == 7
 
+    # clone_empty shares the sharded planes but starts fresh: replaying
+    # the stream into the clone reproduces the same scores, and the
+    # original's state is untouched.
+    clone = shard.clone_empty()
+    assert clone._lib_pos is shard._lib_pos and clone.n == 0
+    n2 = 0
+    for k in (5, 9):
+        clone.update(qpos[:, n2:n2 + k], qneg[:, n2:n2 + k])
+        n2 += k
+    np.testing.assert_array_equal(clone.scores(), got)
+    assert shard.n == n
+
 
 def test_streaming_identifier_incremental_sharded(decoded_corpus,
                                                   default_config):

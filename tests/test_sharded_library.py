@@ -185,3 +185,75 @@ def test_serving_edge_with_sharded_library(mesh, tmp_path):
                                   top_k=2).identify(payload)
     assert got_s == ref_s
     assert [e["track"] for e in got_s["top"]][0] == "BlackBird"
+
+
+def test_streaming_sessions_over_sharded_library(mesh):
+    """Serving-edge live-recognition sessions against a mesh-sharded
+    library: running results must equal the same session replayed against
+    the single-device service."""
+    from lbaudiodetective_tpu.serving import IdentificationService
+
+    rng = np.random.default_rng(83)
+    fps = _fps(rng, [6, 9, 4, 11, 7, 10, 3])       # 7: pads the 4-way axis
+    names = [f"t{i}" for i in range(len(fps))]
+    lib = FingerprintLibrary.from_fingerprints(fps)
+    plain = IdentificationService(lib, names, stream_cap=16)
+    shard = IdentificationService(ShardedFingerprintLibrary(lib, mesh),
+                                  names, stream_cap=16)
+
+    text = fps[3].to_string()
+    subs = text.split("+")
+    sp = plain.stream_open()["session"]
+    ss = shard.stream_open()["session"]
+    i = 0
+    for k in (2, 5, 4):
+        chunk = "+".join(subs[i:i + k]).encode()
+        i += k
+        rp = plain.stream_update(sp, chunk)
+        rs = shard.stream_update(ss, chunk)
+        assert rs["n"] == rp["n"] == i
+        assert rs["track"] == rp["track"]
+        assert rs["score"] == pytest.approx(rp["score"], abs=1e-7)
+    fp_, fs_ = plain.stream_close(sp), shard.stream_close(ss)
+    assert fs_["track"] == fp_["track"] == "t3"
+    assert fs_["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_stream_sessions_concurrent_threads():
+    """Thread-fuzz the session table: concurrent sessions (ThreadingHTTPServer
+    semantics) each streaming their own entry must all converge on their own
+    track with the sequential-replay score — the shared template/clone path
+    and the session dict are thread-safe."""
+    import threading
+
+    from lbaudiodetective_tpu.serving import IdentificationService
+
+    rng = np.random.default_rng(84)
+    fps = _fps(rng, [8, 8, 8, 8, 8, 8, 8, 8])
+    names = [f"t{i}" for i in range(len(fps))]
+    svc = IdentificationService(FingerprintLibrary.from_fingerprints(fps),
+                                names, stream_cap=16, max_sessions=8)
+
+    results: dict[int, dict] = {}
+    errors: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            subs = fps[i].to_string().split("+")
+            sid = svc.stream_open()["session"]
+            for j in range(0, len(subs), 3):
+                svc.stream_update(sid, "+".join(subs[j:j + 3]).encode())
+            results[i] = svc.stream_close(sid)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(results) == 8
+    for i, r in results.items():
+        assert r["track"] == names[i] and r["n"] == 8
+        assert r["score"] == pytest.approx(1.0, abs=1e-5)

@@ -431,9 +431,12 @@ def bench_streaming_identify(config, n_streams: int = 256,
                                     match_stream_group=group, rematch=rematch)
         ticks = 0                   # warm pass: compile every tick shape
         for s in range(steps):
-            ticks += int(ident.feed_pcm16(chunks[s]) > 0)
+            done = ident.feed_pcm16(chunks[s])
+            ticks += int(done > 0 and ident._since_match == 0)
         ident.finalize()
-        if ticks == 0:
+        if ticks == 0:              # counts MATCH ticks, not completions —
+            # a steps/match_every combo that never accumulates a tick must
+            # fail here, not report a 0-tick timing below.
             raise RuntimeError("no identify tick fired during warmup")
         ident2 = StreamingIdentifier(lib, batch=n_streams, chunk_size=chunk,
                                      config=config, match_every=match_every,
@@ -450,8 +453,9 @@ def bench_streaming_identify(config, n_streams: int = 256,
                 n_ticks += 1
         ident2.finalize()
         dt = time.perf_counter() - t0
+        # None (JSON null), never NaN: bench_details.json must stay RFC JSON.
         return (n_ticks / dt, float(np.median(tick_seconds)) if tick_seconds
-                else float("nan"), audio_seconds / dt, n_ticks)
+                else None, audio_seconds / dt, n_ticks)
 
     return run_mode("full"), run_mode("incremental")
 

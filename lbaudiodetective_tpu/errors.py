@@ -21,6 +21,7 @@ ARGUMENT_INVALID = 1
 #: OSStatus codes); a framework-domain code is assigned.
 DECODE_FAILED = 2
 UNSUPPORTED_FORMAT = 3
+RESOURCE_EXHAUSTED = 4
 
 
 class AudioDetectiveError(Exception):
@@ -47,3 +48,11 @@ class UnsupportedFormatError(DecodeError, NotImplementedError):
     """Well-formed file in a codec/layout this framework does not decode."""
 
     status = UNSUPPORTED_FORMAT
+
+
+class ResourceExhaustedError(AudioDetectiveError, RuntimeError):
+    """A server-side capacity bound was hit (live-session slots full of
+    active sessions, a serving mode refused at the configured library-size
+    bound).  Retryable; the HTTP edge maps it to 429 rather than 400."""
+
+    status = RESOURCE_EXHAUSTED

@@ -75,7 +75,8 @@ class IdentificationService:
                  batch_window_s: float = 0.0, max_batch: int = 8,
                  search_threshold: int = 4096, top_k: int = 5,
                  n_sub_cap: int = 0, stream_cap: int = 256,
-                 max_sessions: int = 64):
+                 max_sessions: int = 64, stream_library_max: int = 65536,
+                 stream_idle_evict_s: float = 30.0):
         if len(names) != len(library):
             raise errors.InvalidArgumentError("names must match library size")
         self.library = library
@@ -101,6 +102,16 @@ class IdentificationService:
         # Live-recognition streaming sessions (see stream_open below).
         self.stream_cap = stream_cap
         self.max_sessions = max_sessions
+        #: Largest library live-recognition sessions are served against: the
+        #: incremental matcher holds UNPACKED [L, S, pairs] device planes
+        #: (16x the packed size; ~12.8 GB at 1M tracks) plus per-session
+        #: L x (S + stream_cap) f32 diagonals, so one unauthenticated
+        #: /stream/open against a search-scale library would OOM the chip.
+        #: Past the bound, opens are refused with a typed 429.
+        self.stream_library_max = stream_library_max
+        #: A session is evictable once idle this long; /stream/open never
+        #: destroys an actively-posting session (it 429s instead).
+        self.stream_idle_evict_s = stream_idle_evict_s
         self._slock = threading.Lock()
         self._sessions: dict[str, dict] = {}
         self._template = None
@@ -304,6 +315,11 @@ class IdentificationService:
         import time
         import uuid
 
+        if len(self.library) > self.stream_library_max:
+            raise errors.ResourceExhaustedError(
+                f"live-recognition sessions are limited to libraries of "
+                f"<= {self.stream_library_max} tracks (this one has "
+                f"{len(self.library)}); use /identify-fingerprint")
         with self._slock:
             if self._template is None:
                 from lbaudiodetective_tpu.streaming.incremental import (
@@ -313,9 +329,17 @@ class IdentificationService:
                     self.library, batch=1, n_cap=self.stream_cap,
                     config=self.config)
             if len(self._sessions) >= self.max_sessions:
-                # Evict the least-recently-used idle session.
+                # Evict the least-recently-used session, but only if it is
+                # genuinely idle — an at-capacity server full of live
+                # streams refuses new opens rather than silently destroying
+                # an active client's accumulated state.
                 victim = min(self._sessions, key=lambda k:
                              self._sessions[k]["t"])
+                if (time.monotonic() - self._sessions[victim]["t"]
+                        < self.stream_idle_evict_s):
+                    raise errors.ResourceExhaustedError(
+                        f"all {self.max_sessions} session slots hold "
+                        "active streams; retry shortly")
                 del self._sessions[victim]
             sid = uuid.uuid4().hex[:16]
             self._sessions[sid] = {"m": self._template.clone_empty(),
@@ -343,7 +367,11 @@ class IdentificationService:
                     raise errors.InvalidArgumentError(
                         f"stream age {m.n + k} exceeds the session cap "
                         f"({m.n_cap}); close and re-open")
-                m.update(np.asarray(fp.pos)[None], np.asarray(fp.neg)[None])
+                # Bucketed: k is a static jit shape; live clients post
+                # uneven increments, so raw-k updates would compile one
+                # kernel per distinct increment size.
+                m.update_bucketed(np.asarray(fp.pos)[None],
+                                  np.asarray(fp.neg)[None])
             sess["t"] = time.monotonic()
             return self._stream_result(m)
 
@@ -408,6 +436,8 @@ def make_server(service: IdentificationService, host: str = "127.0.0.1",
                     self._send(200, service.stream_update(sid, payload))
                 else:
                     self._send(404, {"error": "not found"})
+            except errors.ResourceExhaustedError as e:
+                self._send(429, {"error": str(e), "status": e.status})
             except errors.AudioDetectiveError as e:
                 self._send(400, {"error": str(e), "status": e.status})
             except Exception as e:  # noqa: BLE001 — serving edge must not die

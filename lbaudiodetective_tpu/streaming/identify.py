@@ -71,8 +71,11 @@ class StreamingIdentifier:
         #: (O(n) in stream age); "incremental" maintains running diagonal
         #: sums (streaming/incremental.py) at O(new subs) per tick with
         #: bitwise-identical scores — the production mode for long-lived
-        #: streams.  With a mesh-sharded library the incremental state
-        #: shards along the library axis (no per-tick collectives).
+        #: streams.  ``n_cap`` is the incremental state's INITIAL diagonal
+        #: capacity; streams outgrowing it auto-grow the state by doubling
+        #: (exact, see incremental._grow_fn).  With a mesh-sharded library
+        #: the incremental state shards along the library axis (no per-tick
+        #: collectives).
         if rematch not in ("full", "incremental"):
             raise ValueError(f"unknown rematch mode {rematch!r}")
         self.rematch = rematch
@@ -87,7 +90,10 @@ class StreamingIdentifier:
         #: its mesh attribute) match through their own batched collective
         #: dispatch — unpacking them to host would defeat pod residency.
         self._sharded = hasattr(library, "mesh")
-        if not self._sharded:
+        if not self._sharded and rematch == "full":
+            # Incremental mode never reads these planes (its matcher holds
+            # its own device copy) — unpacking them too would double the
+            # library's device footprint for nothing.
             # Unpacked library planes for the vmapped batch matcher (the
             # packed popcount matcher is one-vs-many; B streams batch better
             # through the shared-hits matmul form).
@@ -146,8 +152,8 @@ class StreamingIdentifier:
                     config=self.config,
                     stream_group=self.match_stream_group)
             if n_sub > self._consumed:
-                self._inc.update(pos[:, self._consumed:n_sub],
-                                 neg[:, self._consumed:n_sub])
+                self._inc.update_bucketed(pos[:, self._consumed:n_sub],
+                                          neg[:, self._consumed:n_sub])
                 self._consumed = n_sub
             scores = self._inc.scores()
             best = scores.argmax(axis=1)

@@ -34,7 +34,7 @@ library-axis sharding divides it across the pod.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 
@@ -44,6 +44,29 @@ import jax.numpy as jnp
 from lbaudiodetective_tpu.config import FingerprintConfig
 from lbaudiodetective_tpu.models.library import FingerprintLibrary
 from lbaudiodetective_tpu.ops.match import _pair_mask
+
+
+@lru_cache(maxsize=None)
+def _state_init_fn(g: int, l: int, s: int, d_cap: int, sharding):
+    """Cached jitted zero-state initializer (one compile per geometry —
+    per-session clones must NOT retrace; shardings are hashable)."""
+    fn = lambda: (jnp.zeros((g, l, s), jnp.float32),      # noqa: E731
+                  jnp.zeros((g, l, d_cap), jnp.float32))
+    if sharding is not None:
+        return jax.jit(fn, out_shardings=(sharding, sharding))
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _grow_fn(extra: int, sharding):
+    """Cached jitted orientation-B capacity growth: appending zero diagonal
+    slots is EXACT — diagonal ``d`` only receives contributions from arrival
+    indices ``i`` in ``[d, d+S)``, so every slot at ``d >= n`` is still
+    all-zero when the stream age is ``n``."""
+    fn = lambda d_b: jnp.pad(d_b, ((0, 0), (0, 0), (0, extra)))  # noqa: E731
+    if sharding is not None:
+        return jax.jit(fn, out_shardings=sharding)
+    return jax.jit(fn)
 
 
 @partial(jax.jit, static_argnames=("comparison_range", "subfingerprint_length"))
@@ -138,9 +161,13 @@ class IncrementalLibraryMatcher:
     ``match_one_vs_many_padded`` on those planes, at O(k) per update
     instead of O(n).
 
-    ``n_cap`` bounds stream age (accumulated subfingerprints beyond it
-    would need orientation-B diagonals past the allocated window; update
-    raises).  ``stream_group`` > 0 processes streams in groups of that size
+    ``n_cap`` is the INITIAL orientation-B diagonal capacity; when a stream
+    outgrows it the state auto-grows by doubling (zero-padding new diagonal
+    slots is exact — see :func:`_grow_fn` — so scores stay bitwise equal;
+    memory then scales with stream age, which exact Q10 over a growing
+    query inherently requires).  Set ``grow=False`` to keep the old
+    hard-cap behaviour (update raises past ``n_cap``).
+    ``stream_group`` > 0 processes streams in groups of that size
     (bounds the [G, L, S, k] hit transient); state is held per group.
 
     A :class:`~..parallel.sharded_library.ShardedFingerprintLibrary` is
@@ -150,13 +177,15 @@ class IncrementalLibraryMatcher:
 
     def __init__(self, library, batch: int,
                  n_cap: int = 256, config: FingerprintConfig | None = None,
-                 comparison_range: int = 0, stream_group: int = 0):
+                 comparison_range: int = 0, stream_group: int = 0,
+                 grow: bool = True):
         from lbaudiodetective_tpu.utils import packing
 
         self.config = config or FingerprintConfig()
         self.library = library
         self.batch = batch
         self.n_cap = n_cap
+        self.grow = grow
         self.comparison_range = comparison_range
         g = stream_group or batch
         if batch % g:
@@ -183,22 +212,17 @@ class IncrementalLibraryMatcher:
             self._lib_neg = jax.device_put(neg_u8, lib_sh)
             self._n_lib = jax.device_put(counts,
                                          NamedSharding(mesh, P("library")))
-            sh_a = NamedSharding(mesh, P(None, "library", None))
-            l = pos_u8.shape[0]
-            make_state = jax.jit(
-                lambda: (jnp.zeros((g, l, s), jnp.float32),
-                         jnp.zeros((g, l, n_cap), jnp.float32)),
-                out_shardings=(sh_a, sh_a))
-            self._state = [make_state() for _ in range(batch // g)]
+            self._sh_a = NamedSharding(mesh, P(None, "library", None))
+            l = int(pos_u8.shape[0])
         else:
             self._lib_pos = jnp.asarray(pos_u8)
             self._lib_neg = jnp.asarray(neg_u8)
             self._n_lib = jnp.asarray(counts)
+            self._sh_a = None
             l = self._true_l
-            self._state = [
-                (jnp.zeros((g, l, s), jnp.float32),
-                 jnp.zeros((g, l, n_cap), jnp.float32))
-                for _ in range(batch // g)]
+        self._geom = (g, l, s)
+        make_state = _state_init_fn(g, l, s, n_cap, self._sh_a)
+        self._state = [make_state() for _ in range(batch // g)]
         self.n = 0
 
     def clone_empty(self) -> "IncrementalLibraryMatcher":
@@ -207,22 +231,9 @@ class IncrementalLibraryMatcher:
         template per library and mints per-session clones from it."""
         new = object.__new__(IncrementalLibraryMatcher)
         new.__dict__.update(self.__dict__)
-        g, l = self.group, self._lib_pos.shape[0]
-        s = int(self._lib_pos.shape[1])
-        if getattr(self.library, "mesh", None) is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sh_a = NamedSharding(self.library.mesh, P(None, "library", None))
-            make_state = jax.jit(
-                lambda: (jnp.zeros((g, l, s), jnp.float32),
-                         jnp.zeros((g, l, self.n_cap), jnp.float32)),
-                out_shardings=(sh_a, sh_a))
-            new._state = [make_state() for _ in range(self.batch // g)]
-        else:
-            new._state = [
-                (jnp.zeros((g, l, s), jnp.float32),
-                 jnp.zeros((g, l, self.n_cap), jnp.float32))
-                for _ in range(self.batch // g)]
+        g, l, s = self._geom
+        make_state = _state_init_fn(g, l, s, self.n_cap, self._sh_a)
+        new._state = [make_state() for _ in range(self.batch // g)]
         new.n = 0
         return new
 
@@ -234,8 +245,13 @@ class IncrementalLibraryMatcher:
         k = int(new_pos.shape[1])
         k_valid = k if k_valid is None else int(k_valid)
         if self.n + k_valid > self.n_cap:
-            raise ValueError(
-                f"stream age {self.n + k_valid} exceeds n_cap={self.n_cap}")
+            if not self.grow:
+                raise ValueError(
+                    f"stream age {self.n + k_valid} exceeds n_cap={self.n_cap}")
+            new_cap = max(self.n_cap * 2, self.n + k_valid)
+            growf = _grow_fn(new_cap - self.n_cap, self._sh_a)
+            self._state = [(d_a, growf(d_b)) for d_a, d_b in self._state]
+            self.n_cap = new_cap
         g = self.group
         for gi in range(self.batch // g):
             d_a, d_b = self._state[gi]
@@ -246,6 +262,23 @@ class IncrementalLibraryMatcher:
                 jnp.int32(k_valid), jnp.int32(self.n),
                 self.comparison_range, self.config.subfingerprint_length)
         self.n += k_valid
+
+    def update_bucketed(self, new_pos: np.ndarray,
+                        new_neg: np.ndarray) -> None:
+        """:meth:`update` with the ``k`` axis zero-padded to the next power
+        of two.  ``k`` is a static shape of the jitted update kernel, so a
+        live stream posting uneven increments (the normal recording case)
+        would otherwise compile one kernel per distinct increment size;
+        bucketing bounds that at O(log max_k) compiles."""
+        k = int(new_pos.shape[1])
+        if k == 0:
+            return
+        kb = 1 << (k - 1).bit_length()
+        if kb != k:
+            padw = ((0, 0), (0, kb - k), (0, 0))
+            new_pos = np.pad(np.asarray(new_pos), padw)
+            new_neg = np.pad(np.asarray(new_neg), padw)
+        self.update(new_pos, new_neg, k_valid=k)
 
     def scores(self) -> np.ndarray:
         """[batch, L] running match scores (padded mesh entries trimmed)."""

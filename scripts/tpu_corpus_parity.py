@@ -1,5 +1,5 @@
 """Run the five corpus identification matrices END-TO-END on the TPU backend
-and write TPU_PARITY_r03.md (re-validated each round after kernel changes).
+and write TPU_PARITY_r04.md (re-validated each round after kernel changes).
 
 Covers both kernel precisions:
   - shipped default (matmul_precision="high": 3-pass bf16 stage-2)
@@ -91,7 +91,7 @@ def run_mode(cfg, label, lines):
 def main():
     assert jax.default_backend() != "cpu", (
         "this script must run on the TPU backend (run without forcing cpu)")
-    lines = ["# TPU end-to-end corpus identification (round 3)", "",
+    lines = ["# TPU end-to-end corpus identification (round 4)", "",
              f"Device: `{jax.devices()[0]}`; full pipeline (decode on host, "
              "extraction + matching on the TPU backend via the v3 Pallas "
              "kernel path), all five 10x10 matrices.", "",
@@ -111,7 +111,7 @@ def main():
     lines.append(f"- fast mode: {'identified counts match CPU goldens' if ok_fast else 'identified counts DIVERGE from CPU goldens — fast mode is NOT validated for identification'}")
     if "--highest" in sys.argv:
         lines.append(f"- highest: {'identified counts match CPU goldens' if ok_highest else 'identified counts DIVERGE — restrict identification_validated to high only'}")
-    out = pathlib.Path("/root/repo/TPU_PARITY_r03.md")
+    out = pathlib.Path("/root/repo/TPU_PARITY_r04.md")
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}", flush=True)
 

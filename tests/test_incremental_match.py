@@ -92,16 +92,70 @@ def test_incremental_equals_full_every_tick(comparison_range):
 
 
 def test_incremental_n_cap_guard():
+    """grow=False keeps the hard cap; the default auto-grows instead."""
     rng = np.random.default_rng(0)
     pairs = 100
     p, q = _random_planes(rng, 4, pairs)
     lib = FingerprintLibrary.from_fingerprints(
         [Fingerprint(p, q)], FingerprintConfig())
-    inc = IncrementalLibraryMatcher(lib, batch=1, n_cap=4)
+    inc = IncrementalLibraryMatcher(lib, batch=1, n_cap=4, grow=False)
     pos = np.zeros((1, 3, pairs), np.uint8)
     inc.update(pos, pos)
     with pytest.raises(ValueError, match="n_cap"):
         inc.update(pos, pos)
+
+
+def test_incremental_auto_grow_bitwise_equal():
+    """A stream outgrowing n_cap auto-doubles the orientation-B window;
+    scores stay bitwise equal to the full rematch at every tick (new
+    diagonal slots are zeros by construction — incremental._grow_fn)."""
+    rng = np.random.default_rng(7)
+    pairs = 100
+    n_total, n_lib = 24, 6
+    fps = []
+    for _ in range(5):
+        p, q = _random_planes(rng, n_lib, pairs)
+        fps.append(Fingerprint(p, q))
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+    qpos = np.zeros((1, n_total, pairs), np.uint8)
+    qneg = np.zeros_like(qpos)
+    qpos[0], qneg[0] = _random_planes(rng, n_total, pairs)
+    # Echo entry 2 so an actual match rides through the growth boundary.
+    e2p, e2n = np.asarray(fps[2].pos), np.asarray(fps[2].neg)
+    qpos[0, 5:5 + n_lib], qneg[0, 5:5 + n_lib] = e2p, e2n
+
+    inc = IncrementalLibraryMatcher(lib, batch=1, n_cap=4)  # grows 4->8->16->32
+    n = 0
+    for k in (3, 4, 5, 7, 5):                   # crosses 4, 8 and 16
+        inc.update(qpos[:, n:n + k], qneg[:, n:n + k])
+        n += k
+        got = inc.scores()
+        want = _full_scores(lib, qpos, qneg, n, n_total, 0)
+        np.testing.assert_array_equal(got, want)
+    assert inc.n_cap >= n_total
+    assert int(got[0].argmax()) == 2
+
+
+def test_incremental_update_bucketed_equal():
+    """update_bucketed (k padded to the next power of two + k_valid) scores
+    identically to raw-k updates."""
+    rng = np.random.default_rng(11)
+    pairs = 100
+    p, q = _random_planes(rng, 8, pairs)
+    lib = FingerprintLibrary.from_fingerprints(
+        [Fingerprint(p, q)], FingerprintConfig())
+    qpos = np.zeros((1, 13, pairs), np.uint8)
+    qneg = np.zeros_like(qpos)
+    qpos[0], qneg[0] = _random_planes(rng, 13, pairs)
+    a = IncrementalLibraryMatcher(lib, batch=1, n_cap=16)
+    b = IncrementalLibraryMatcher(lib, batch=1, n_cap=16)
+    n = 0
+    for k in (3, 1, 7, 2):
+        a.update(qpos[:, n:n + k], qneg[:, n:n + k])
+        b.update_bucketed(qpos[:, n:n + k], qneg[:, n:n + k])
+        n += k
+        np.testing.assert_array_equal(a.scores(), b.scores())
+    assert a.n == b.n == n
 
 
 def test_streaming_identifier_incremental_mode(decoded_corpus,

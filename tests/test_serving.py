@@ -507,12 +507,27 @@ def test_stream_session_errors_and_eviction(decoded_corpus, default_config):
     with _pytest.raises(_errors.InvalidArgumentError):
         svc.stream_update(sid, b"0101")          # wrong length
 
-    # LRU eviction at max_sessions: opening a third evicts the oldest.
+    # At max_sessions with every session recently active, a new open is
+    # refused (429-class) — it must NOT destroy a live client's state.
     s2 = svc.stream_open()["session"]
+    assert len(svc._sessions) == 2
+    with _pytest.raises(_errors.ResourceExhaustedError, match="active"):
+        svc.stream_open()
+    assert sid in svc._sessions                  # nothing was evicted
+
+    # Once sessions count as idle (threshold 0 here), LRU eviction applies.
+    svc.stream_idle_evict_s = 0.0
     s3 = svc.stream_open()["session"]
     assert len(svc._sessions) == 2
     with _pytest.raises(_errors.InvalidArgumentError, match="unknown"):
-        svc.stream_close(sid)                    # evicted
+        svc.stream_close(sid)                    # evicted (oldest update)
     svc.stream_close(s2)
     svc.stream_close(s3)
     assert not svc._sessions
+
+    # Library-size gate: sessions refuse search-scale libraries outright
+    # (the incremental matcher would otherwise unpack L x S x pairs device
+    # planes on one unauthenticated request).
+    svc.stream_library_max = len(lib) - 1
+    with _pytest.raises(_errors.ResourceExhaustedError, match="limited"):
+        svc.stream_open()

@@ -162,6 +162,37 @@ def test_phase1_legacy_misses_offset_crops(planted):
     assert found <= len(crops) // 2
 
 
+def test_sharded_search_zero_misses(planted):
+    """Per-shard sharded search (ShardedFingerprintLibrary.search_many on
+    the 8-device mesh) has the same zero-miss recall on the planted set as
+    the single-device search — each shard shortlists among only its own
+    L/n_shards residents, so per-shard survival is no harder than global
+    survival at the same shortlist."""
+    import jax
+
+    from lbaudiodetective_tpu.parallel.mesh import make_mesh
+    from lbaudiodetective_tpu.parallel.sharded_library import (
+        ShardedFingerprintLibrary)
+
+    assert len(jax.devices()) == 8
+    lib, queries = planted
+    slib = ShardedFingerprintLibrary(lib, make_mesh(8, library_parallelism=4))
+    brute = lib.match_many([q for _, _, q in queries])
+    idx, scores = slib.search_many([q for _, _, q in queries],
+                                   top_k=5, **SHIPPED)
+    identifiable = misses = 0
+    for i, (label, true_idx, _) in enumerate(queries):
+        np.testing.assert_allclose(scores[i], brute[i][idx[i]], atol=1e-6,
+                                   err_msg=label)              # exact re-score
+        if int(np.argmax(brute[i])) != true_idx:
+            continue
+        identifiable += 1
+        if int(idx[i][0]) != true_idx:
+            misses += 1
+    assert identifiable >= 20
+    assert misses == 0
+
+
 def test_offset_crop_search_single_query(planted):
     """Single-query search path (not just search_many) is offset-robust."""
     lib, queries = planted

@@ -378,12 +378,15 @@ class IdentificationService:
     def _stream_result(self, m) -> dict:
         if m.n == 0:
             return {"track": None, "score": 0.0, "top": [], "n": 0}
-        scores = m.scores()[0]
-        order = np.argsort(-scores)[: self.top_k]
-        return {"track": self.names[int(order[0])],
-                "score": float(scores[order[0]]),
+        # Device-side top-k: fetch self.top_k winners per post, not the
+        # full [L] score plane (ties resolve lowest-index, matching a
+        # stable descending sort).
+        sc, ix = m.top_k(self.top_k)
+        sc, ix = sc[0], ix[0]
+        return {"track": self.names[int(ix[0])],
+                "score": float(sc[0]),
                 "top": [{"track": self.names[int(i)],
-                         "score": float(scores[i])} for i in order],
+                         "score": float(s)} for i, s in zip(ix, sc)],
                 "n": int(m.n)}
 
     def stream_close(self, sid: str) -> dict:

@@ -132,6 +132,21 @@ def _update_group(d_a, d_b, lib_pos, lib_neg, n_lib,
     return d_a, d_b
 
 
+@lru_cache(maxsize=None)
+def _topk_fn(k: int, true_l: int):
+    """Cached jitted top-k over a group's scores (padded entries masked to
+    -inf so they can never enter the winners)."""
+
+    @jax.jit
+    def fn(d_a, d_b, n_lib, n):
+        sc = _scores_group(d_a, d_b, n_lib, n)
+        l = sc.shape[1]
+        live = jnp.arange(l)[None, :] < true_l
+        return jax.lax.top_k(jnp.where(live, sc, -jnp.inf), k)
+
+    return fn
+
+
 @jax.jit
 def _scores_group(d_a, d_b, n_lib, n):
     """[G, L] scores from the accumulators (selection + masks exactly as
@@ -286,3 +301,20 @@ class IncrementalLibraryMatcher:
                                           jnp.int32(self.n)))
                  for d_a, d_b in self._state]
         return np.concatenate(parts, axis=0)[:, :self._true_l]
+
+    def top_k(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Device-side top-k: ``([batch, k] scores, [batch, k] indices)``,
+        descending, ties broken by lowest index (``lax.top_k``).  Fetches
+        ``k`` values per stream instead of the full ``[batch, L]`` score
+        plane — the per-post transfer the serving edge actually needs
+        (256 KB -> ~100 B per post at the 64k-track session bound).
+        Padded mesh entries are masked out before selection."""
+        k = min(k, self._true_l)
+        fn = _topk_fn(k, self._true_l)
+        sc_parts, ix_parts = [], []
+        for d_a, d_b in self._state:
+            sc, ix = fn(d_a, d_b, self._n_lib, jnp.int32(self.n))
+            sc_parts.append(np.asarray(sc))
+            ix_parts.append(np.asarray(ix))
+        return (np.concatenate(sc_parts, axis=0),
+                np.concatenate(ix_parts, axis=0))

@@ -245,6 +245,19 @@ def test_incremental_sharded_library_equals_plain():
         np.testing.assert_array_equal(got, want)
     assert int(got[1].argmax()) == 7
 
+    # Device-side top-k == stable descending host sort of scores(), on both
+    # the plain and the mesh-sharded matcher (padded entries masked out,
+    # ties to the lowest index — lax.top_k semantics).
+    for m in (plain, shard):
+        sc_k, ix_k = m.top_k(3)
+        assert sc_k.shape == ix_k.shape == (b, 3)
+        for bi in range(b):
+            order = np.argsort(-want[bi], kind="stable")[:3]
+            np.testing.assert_array_equal(ix_k[bi], order)
+            np.testing.assert_array_equal(sc_k[bi], want[bi][order])
+    # k clamps to the true library size (never indexes a padded entry).
+    assert plain.top_k(99)[0].shape == (b, len(fps))
+
     # clone_empty shares the sharded planes but starts fresh: replaying
     # the stream into the clone reproduces the same scores, and the
     # original's state is untouched.

@@ -109,25 +109,38 @@ def _update_group(d_a, d_b, lib_pos, lib_neg, n_lib,
 
     d_cap = d_b.shape[-1]
     d_b_pad = jnp.pad(d_b, ((0, 0), (0, 0), (s, s)))
-    for t in range(k):                                # k is small and static
+
+    def fold_one(t, carry):
+        # Sequential ascending-arrival fold (fori_loop, NOT an unrolled
+        # Python loop: k buckets up to 256 and an unrolled body of [G,L,S]
+        # ops at that size compiles for minutes; the loop form compiles
+        # once and small).  Order — and therefore f32 accumulation — is
+        # identical to the unrolled form, keeping the bitwise claim.
+        d_a, d_b_pad = carry
         live = (t < k_valid).astype(jnp.float32)
         i = base + t                                  # arrival index
+        h_t = jax.lax.dynamic_index_in_dim(hits, t, axis=3, keepdims=False)
         # Orientation A: column i contributes sim_a[e, d+i] to diagonal d
         # (dynamic left-shift with zero fill via pad + dynamic_slice).
-        col = hits[:, :, :, t] * inv_lib[None, :, :] * live    # [G, L, S]
+        col = h_t * inv_lib[None, :, :] * live                 # [G, L, S]
         shifted = jax.lax.dynamic_slice(
             jnp.pad(col, ((0, 0), (0, 0), (0, s))), (0, 0, i), (g, l, s))
         d_a = d_a + shifted
         # Orientation B: row j of the library contributes at d = i - j;
         # reversed row rev[sidx] = hits[.., s-1-sidx, t] lands at
         # d = i - s + 1 + sidx, i.e. padded index i + 1 + sidx.
-        row = hits[:, :, :, t] * lib_row_valid[None, :, :] \
-            * inv_q[:, None, t, None] * live
+        inv_q_t = jax.lax.dynamic_index_in_dim(inv_q, t, axis=1,
+                                               keepdims=False)
+        row = h_t * lib_row_valid[None, :, :] \
+            * inv_q_t[:, None, None] * live
         rev = jnp.flip(row, axis=-1)
         window = jax.lax.dynamic_slice(
             d_b_pad, (0, 0, i + 1), (g, l, s))
         d_b_pad = jax.lax.dynamic_update_slice(
             d_b_pad, window + rev, (0, 0, i + 1))
+        return d_a, d_b_pad
+
+    d_a, d_b_pad = jax.lax.fori_loop(0, k, fold_one, (d_a, d_b_pad))
     d_b = jax.lax.dynamic_slice(d_b_pad, (0, 0, s), (g, l, d_cap))
     return d_a, d_b
 

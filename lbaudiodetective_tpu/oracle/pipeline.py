@@ -257,7 +257,8 @@ def haar_decompose_frame(frame: np.ndarray) -> np.ndarray:
 # Subfingerprint extraction
 # --------------------------------------------------------------------------- #
 
-def extract_subfingerprint(frame_coeffs: np.ndarray, config: FingerprintConfig
+def extract_subfingerprint(frame_coeffs: np.ndarray, config: FingerprintConfig,
+                           tie_rng: np.random.Generator | None = None
                            ) -> tuple[np.ndarray, np.ndarray]:
     """Ranked-sign extraction (LBAudioDetectiveFrameExtractFingerprint,
     LBAudioDetectiveFrame.m:165-191 + storage quirk Q1).
@@ -269,7 +270,17 @@ def extract_subfingerprint(frame_coeffs: np.ndarray, config: FingerprintConfig
     """
     flat = frame_coeffs.reshape(-1)
     k = config.num_wavelet_pairs
-    order = np.argsort(-np.abs(flat), kind="stable")[:k]
+    if tie_rng is None:
+        order = np.argsort(-np.abs(flat), kind="stable")[:k]
+    else:
+        # Q2 sensitivity hook: the reference's NSArray sort is UNSTABLE, so
+        # |coeff| ties could come out in any order there.  A random secondary
+        # key randomises the within-tie order (lexsort: last key is primary)
+        # without moving any non-tied element, letting
+        # scripts/tiebreak_sensitivity.py bound how much the tie order can
+        # move corpus scores.
+        sec = tie_rng.permutation(flat.size)
+        order = np.lexsort((sec, -np.abs(flat)))[:k]
     top = flat[order]
     pos = (top > 0.0).astype(np.uint8)
     neg = (top < 0.0).astype(np.uint8)
@@ -284,16 +295,37 @@ def oracle_fingerprint(audio: DecodedAudio, config: FingerprintConfig | None = N
     LBAudioDetective.m:208-331).  ``stale_tail`` opts into the reference's
     short-read stale-buffer EOF behaviour (Q8 tail; CALIBRATION.md)."""
     config = config or FingerprintConfig()
+    coeffs = oracle_frame_coeffs(audio, config, stale_tail=stale_tail)
+    return select_from_coeffs(coeffs, config)
+
+
+def oracle_frame_coeffs(audio: DecodedAudio,
+                        config: FingerprintConfig | None = None,
+                        stale_tail: bool = False) -> np.ndarray:
+    """``[n_sub, rows_per_frame, width]`` Haar coefficient frames — the
+    pre-selection stage of :func:`oracle_fingerprint`, exposed so the Q2
+    tie-sensitivity experiment can rerun ONLY the ranked-sign selection
+    per random seed (the spectral + Haar stages dominate the runtime and
+    are tie-independent)."""
+    config = config or FingerprintConfig()
     rows = spectrogram_rows(audio, config, stale_tail=stale_tail)
     rpf = config.rows_per_frame
     n_sub = rows.shape[0] // rpf
+    return np.stack([haar_decompose_frame(rows[s * rpf:(s + 1) * rpf])
+                     for s in range(n_sub)]) if n_sub else \
+        np.zeros((0, rpf, rows.shape[1]), rows.dtype)
+
+
+def select_from_coeffs(coeffs: np.ndarray, config: FingerprintConfig,
+                       tie_rng: np.random.Generator | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Ranked-sign selection over precomputed coefficient frames."""
+    n_sub = coeffs.shape[0]
     pairs = config.num_wavelet_pairs
     pos = np.zeros((n_sub, pairs), dtype=np.uint8)
     neg = np.zeros((n_sub, pairs), dtype=np.uint8)
     for s in range(n_sub):
-        frame = rows[s * rpf:(s + 1) * rpf]
-        coeffs = haar_decompose_frame(frame)
-        pos[s], neg[s] = extract_subfingerprint(coeffs, config)
+        pos[s], neg[s] = extract_subfingerprint(coeffs[s], config, tie_rng)
     return pos, neg
 
 

@@ -389,6 +389,50 @@ class IdentificationService:
                          "score": float(s)} for i, s in zip(ix, sc)],
                 "n": int(m.n)}
 
+    def save_sessions(self, dir_path: str) -> int:
+        """Checkpoint every live session's incremental state (one npz per
+        session) so a server restart does not lose streams whose audio
+        only ever existed as posted increments.  Returns the count."""
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        with self._slock:
+            items = list(self._sessions.items())
+        n = 0
+        for sid, sess in items:
+            with sess["lock"]:
+                sess["m"].save_state(os.path.join(dir_path, f"{sid}.npz"))
+            n += 1
+        return n
+
+    def load_sessions(self, dir_path: str) -> int:
+        """Restore sessions saved by :meth:`save_sessions` against the SAME
+        library (state-key checked per file).  Returns the count."""
+        import os
+        import time
+
+        count = 0
+        with self._slock:
+            if self._template is None:
+                from lbaudiodetective_tpu.streaming.incremental import (
+                    IncrementalLibraryMatcher)
+
+                self._template = IncrementalLibraryMatcher(
+                    self.library, batch=1, n_cap=self.stream_cap,
+                    config=self.config)
+            for fname in sorted(os.listdir(dir_path)):
+                if not fname.endswith(".npz"):
+                    continue
+                if len(self._sessions) >= self.max_sessions:
+                    break
+                m = self._template.clone_empty()
+                m.restore_state(os.path.join(dir_path, fname))
+                self._sessions[fname[:-4]] = {
+                    "m": m, "t": time.monotonic(),
+                    "lock": threading.Lock()}
+                count += 1
+        return count
+
     def stream_close(self, sid: str) -> dict:
         with self._slock:
             sess = self._sessions.pop(sid, None)

@@ -308,6 +308,71 @@ class IncrementalLibraryMatcher:
             new_neg = np.pad(np.asarray(new_neg), padw)
         self.update(new_pos, new_neg, k_valid=k)
 
+    # -- session persistence ---------------------------------------------
+    #
+    # A live-recognition server restart would otherwise lose every
+    # session's accumulated diagonal state (the audio is gone — the client
+    # only ever posted subfingerprint increments).  State is tiny next to
+    # the library planes and fully determines the running scores, so it
+    # round-trips through one npz per matcher.
+
+    def _state_key(self) -> str:
+        """Geometry + library identity a restored state must match
+        (the diagonals are meaningless against different planes).
+        Memoized — clones share it via ``clone_empty``'s dict copy."""
+        import hashlib
+
+        cached = self.__dict__.get("_state_key_cache")
+        if cached is not None:
+            return cached
+        h = hashlib.sha256()
+        inner = (self.library.inner
+                 if getattr(self.library, "mesh", None) is not None
+                 else self.library)
+        h.update(np.ascontiguousarray(np.asarray(inner.pos_words)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(inner.counts)).tobytes())
+        g, l, s = self._geom
+        h.update(f"{g},{l},{s},{self.batch},{self.pairs}".encode())
+        self._state_key_cache = h.hexdigest()[:16]
+        return self._state_key_cache
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the accumulated diagonal state (all stream groups)
+        plus the stream age; the library itself is NOT saved."""
+        arrays = {}
+        for gi, (d_a, d_b) in enumerate(self._state):
+            arrays[f"da_{gi}"] = np.asarray(d_a)
+            arrays[f"db_{gi}"] = np.asarray(d_b)
+        np.savez(path, n=np.int64(self.n), n_groups=np.int64(len(self._state)),
+                 state_key=np.bytes_(self._state_key().encode()), **arrays)
+
+    def restore_state(self, path: str) -> None:
+        """Load a checkpoint saved by :meth:`save_state` into this matcher
+        (typically a fresh ``clone_empty``).  Raises ``ValueError`` on a
+        geometry/library mismatch.  The orientation-B capacity adopts the
+        checkpoint's (growth survives the round-trip)."""
+        with np.load(path) as z:
+            stored = bytes(z["state_key"]).decode()
+            if stored != self._state_key():
+                raise ValueError(
+                    "session state was saved against a different library "
+                    "or stream geometry")
+            n_groups = int(z["n_groups"])
+            if n_groups != len(self._state):
+                raise ValueError("stream group count mismatch")
+            state = []
+            for gi in range(n_groups):
+                d_a, d_b = z[f"da_{gi}"], z[f"db_{gi}"]
+                if self._sh_a is not None:
+                    d_a = jax.device_put(d_a, self._sh_a)
+                    d_b = jax.device_put(d_b, self._sh_a)
+                else:
+                    d_a, d_b = jnp.asarray(d_a), jnp.asarray(d_b)
+                state.append((d_a, d_b))
+            self._state = state
+            self.n_cap = int(state[0][1].shape[-1])
+            self.n = int(z["n"])
+
     def scores(self) -> np.ndarray:
         """[batch, L] running match scores (padded mesh entries trimmed)."""
         parts = [np.asarray(_scores_group(d_a, d_b, self._n_lib,

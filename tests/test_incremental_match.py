@@ -158,6 +158,103 @@ def test_incremental_update_bucketed_equal():
     assert a.n == b.n == n
 
 
+def test_incremental_state_roundtrip(tmp_path):
+    """save_state/restore_state: a fresh clone restored from a checkpoint
+    continues the stream with scores identical to the uninterrupted
+    matcher, including across a growth boundary; a checkpoint from a
+    different library is refused."""
+    rng = np.random.default_rng(23)
+    pairs = 100
+    fps = [Fingerprint(*_random_planes(rng, 5, pairs)) for _ in range(3)]
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+    qpos = np.zeros((2, 12, pairs), np.uint8)
+    qneg = np.zeros_like(qpos)
+    for i in range(2):
+        qpos[i], qneg[i] = _random_planes(rng, 12, pairs)
+
+    m = IncrementalLibraryMatcher(lib, batch=2, n_cap=4)
+    m.update(qpos[:, :3], qneg[:, :3])
+    m.update(qpos[:, 3:7], qneg[:, 3:7])       # grows past n_cap=4
+    path = str(tmp_path / "sess.npz")
+    m.save_state(path)
+
+    fresh = m.clone_empty()
+    fresh.restore_state(path)
+    assert fresh.n == m.n and fresh.n_cap == m.n_cap
+    np.testing.assert_array_equal(fresh.scores(), m.scores())
+    # Both continue identically after the restore.
+    m.update(qpos[:, 7:12], qneg[:, 7:12])
+    fresh.update(qpos[:, 7:12], qneg[:, 7:12])
+    np.testing.assert_array_equal(fresh.scores(), m.scores())
+
+    other_lib = FingerprintLibrary.from_fingerprints(
+        [Fingerprint(*_random_planes(rng, 5, pairs))], FingerprintConfig())
+    other = IncrementalLibraryMatcher(other_lib, batch=2, n_cap=4)
+    with pytest.raises(ValueError, match="different library"):
+        other.restore_state(path)
+
+
+def test_incremental_state_roundtrip_sharded(tmp_path):
+    """The same round-trip with library-axis-sharded state (the host
+    checkpoint re-places onto the mesh with the library sharding)."""
+    import jax
+
+    from lbaudiodetective_tpu.parallel.mesh import make_mesh
+    from lbaudiodetective_tpu.parallel.sharded_library import (
+        ShardedFingerprintLibrary)
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(29)
+    pairs = 100
+    fps = [Fingerprint(*_random_planes(rng, 5, pairs)) for _ in range(6)]
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+    slib = ShardedFingerprintLibrary(lib, make_mesh(8, library_parallelism=4))
+    qpos = np.zeros((2, 6, pairs), np.uint8)
+    qneg = np.zeros_like(qpos)
+    for i in range(2):
+        qpos[i], qneg[i] = _random_planes(rng, 6, pairs)
+
+    m = IncrementalLibraryMatcher(slib, batch=2, n_cap=8)
+    m.update(qpos[:, :4], qneg[:, :4])
+    path = str(tmp_path / "sess.npz")
+    m.save_state(path)
+    fresh = m.clone_empty()
+    fresh.restore_state(path)
+    m.update(qpos[:, 4:], qneg[:, 4:])
+    fresh.update(qpos[:, 4:], qneg[:, 4:])
+    np.testing.assert_array_equal(fresh.scores(), m.scores())
+
+
+def test_serving_session_persistence(decoded_corpus, default_config,
+                                     tmp_path):
+    """A restarted IdentificationService reloads checkpointed sessions and
+    answers the next post exactly as the uninterrupted server would."""
+    from tests.conftest import BIRDS
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint
+    from lbaudiodetective_tpu.serving import IdentificationService
+
+    fps = []
+    for b in BIRDS[:2]:
+        pos, neg, n = extract_fingerprint(decoded_corpus[b], default_config)
+        fps.append(Fingerprint.from_planes(np.asarray(pos[:n]),
+                                           np.asarray(neg[:n])))
+    lib = FingerprintLibrary.from_fingerprints(fps, default_config)
+    svc = IdentificationService(lib, BIRDS[:2], default_config)
+    sid = svc.stream_open()["session"]
+    inc = Fingerprint(np.asarray(fps[1].pos)[:3], np.asarray(fps[1].neg)[:3])
+    r1 = svc.stream_update(sid, inc.to_string().encode())
+    assert svc.save_sessions(str(tmp_path / "sess")) == 1
+
+    svc2 = IdentificationService(lib, BIRDS[:2], default_config)
+    assert svc2.load_sessions(str(tmp_path / "sess")) == 1
+    inc2 = Fingerprint(np.asarray(fps[1].pos)[3:5],
+                       np.asarray(fps[1].neg)[3:5])
+    r_cont = svc2.stream_update(sid, inc2.to_string().encode())
+    r_ref = svc.stream_update(sid, inc2.to_string().encode())
+    assert r_cont == r_ref and r_cont["n"] == 5
+    assert r_cont["track"] == BIRDS[1] and r1["n"] == 3
+
+
 def test_streaming_identifier_incremental_mode(decoded_corpus,
                                                default_config):
     """StreamingIdentifier(rematch='incremental') produces the same

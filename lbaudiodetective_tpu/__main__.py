@@ -213,9 +213,22 @@ def cmd_serve(args) -> int:
         lib, names, batch_window_s=args.batch_window,
         max_batch=args.max_batch, n_sub_cap=args.n_sub_cap,
         search_threshold=args.search_threshold, top_k=args.top_k)
+    if args.sessions_dir and pathlib.Path(args.sessions_dir).is_dir():
+        n = service.load_sessions(args.sessions_dir)
+        if n:
+            print(f"restored {n} live session(s) from {args.sessions_dir}",
+                  file=sys.stderr)
     print(f"serving {len(names)} tracks on {args.host}:{args.port}"
           f"{shard_note}", file=sys.stderr)
-    serve_forever(service, host=args.host, port=args.port)
+    try:
+        serve_forever(service, host=args.host, port=args.port)
+    finally:
+        # Checkpoint live sessions on shutdown (Ctrl-C included) so the
+        # next boot with the same --sessions-dir resumes them.
+        if args.sessions_dir:
+            n = service.save_sessions(args.sessions_dir)
+            print(f"saved {n} live session(s) to {args.sessions_dir}",
+                  file=sys.stderr)
     return 0
 
 
@@ -350,6 +363,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="library size above which responses use two-stage "
                         "top-k search instead of full score enumeration")
     s.add_argument("--top-k", type=int, default=5)
+    s.add_argument("--sessions-dir", default="", metavar="DIR",
+                   help="persist live-recognition sessions here on shutdown "
+                        "and restore them on boot (same library required)")
     s.set_defaults(fn=cmd_serve)
 
     cl = sub.add_parser("client", help="POST a clip to a running server")

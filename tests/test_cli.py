@@ -151,6 +151,36 @@ def test_serve_flags_reach_service(tiny_corpus, tmp_path, capsys, monkeypatch):
     assert svc.top_k == 3
 
 
+def test_serve_sessions_dir_roundtrip(tiny_corpus, tmp_path, capsys,
+                                      monkeypatch):
+    """`serve --sessions-dir`: live sessions opened during one server run
+    are checkpointed at shutdown and restored by the next boot."""
+    from lbaudiodetective_tpu import serving as serving_mod
+
+    lib = str(tmp_path / "lib.npz")
+    assert main(["enroll", str(tiny_corpus), "-o", lib]) == 0
+    sess_dir = str(tmp_path / "sessions")
+    state = {}
+
+    def serve_and_open(service, host="0.0.0.0", port=8080):
+        state["sid"] = service.stream_open()["session"]
+        sub = "01" * (service.config.subfingerprint_length // 2)
+        service.stream_update(state["sid"], sub.encode())
+
+    monkeypatch.setattr(serving_mod, "serve_forever", serve_and_open)
+    assert main(["serve", "--library", lib,
+                 "--sessions-dir", sess_dir]) == 0
+
+    def serve_and_check(service, host="0.0.0.0", port=8080):
+        state["restored"] = state["sid"] in service._sessions
+        state["n"] = service._sessions[state["sid"]]["m"].n
+
+    monkeypatch.setattr(serving_mod, "serve_forever", serve_and_check)
+    assert main(["serve", "--library", lib,
+                 "--sessions-dir", sess_dir]) == 0
+    assert state["restored"] and state["n"] == 1
+
+
 def test_dedup_finds_duplicates(tmp_path, capsys):
     """`dedup` reports the near-duplicate pair (archive clip vs its exact
     crop) in both directions and nothing for the unrelated track; the

@@ -27,6 +27,7 @@ Endpoints (JSON unless noted):
                               scores are EXACTLY the full rematch of the
                               accumulated fingerprint (incremental
                               diagonal state, O(new subs) per post)
+  GET  /stream/<id>           peek the running result without posting
   POST /stream/<id>/close     final result; frees the session state
 
 No third-party dependencies (stdlib ``http.server``); thread-safe because
@@ -433,6 +434,13 @@ class IdentificationService:
                 count += 1
         return count
 
+    def stream_peek(self, sid: str) -> dict:
+        """Current running result of a session without posting new
+        subfingerprints (``GET /stream/<id>``)."""
+        sess = self._stream_session(sid)
+        with sess["lock"]:
+            return self._stream_result(sess["m"])
+
     def stream_close(self, sid: str) -> dict:
         with self._slock:
             sess = self._sessions.pop(sid, None)
@@ -457,10 +465,18 @@ def make_server(service: IdentificationService, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, service.health())
-            else:
-                self._send(404, {"error": "not found"})
+            try:
+                if self.path == "/healthz":
+                    self._send(200, service.health())
+                elif self.path.startswith("/stream/"):
+                    sid = self.path[len("/stream/"):]
+                    self._send(200, service.stream_peek(sid))
+                else:
+                    self._send(404, {"error": "not found"})
+            except errors.AudioDetectiveError as e:
+                self._send(400, {"error": str(e), "status": e.status})
+            except Exception as e:  # noqa: BLE001 — serving edge must not die
+                self._send(500, {"error": str(e)})
 
         def do_POST(self):
             try:

@@ -466,6 +466,17 @@ def test_stream_session_incremental_identify(server):
     status, beat = _post(server, f"/stream/{sid}", b"")
     assert status == 200 and beat["n"] == n_seen
 
+    # GET peek returns the same running result without posting.
+    conn = http.client.HTTPConnection(*server.server_address)
+    conn.request("GET", f"/stream/{sid}")
+    resp = conn.getresponse()
+    peek = json.loads(resp.read())
+    assert resp.status == 200 and peek == beat
+    conn.request("GET", "/stream/doesnotexist")
+    resp = conn.getresponse()
+    assert resp.status == 400 and "unknown session" in \
+        json.loads(resp.read())["error"]
+
     status, final = _post(server, f"/stream/{sid}/close", b"")
     assert status == 200 and final["track"] == "BlueTit"
     # Session gone now.

@@ -402,14 +402,19 @@ def bench_streaming(config, n_streams: int = 256, chunk: int = 1024,
 def bench_streaming_identify(config, n_streams: int = 256,
                              lib_size: int = 16384, s_lib: int = 32,
                              chunk: int = 1024, steps: int = 20,
-                             match_every: int = 4, group: int = 32):
+                             match_every: int = 4, group: int = 32,
+                             shard_devices: int = 0):
     """Streaming identification end-to-end (essay Appendix E live use case):
     ``n_streams`` lockstep streams feed a StreamingIdentifier against a
     ``lib_size``-entry library; every ``match_every`` completed
     subfingerprints ONE identify tick rematches every stream's accumulated
     fingerprint against the whole library (stream-grouped dispatches bound
     the hit transient).  Reports (identify ticks/s, seconds per tick,
-    audio real-time factor including extraction, ticks run)."""
+    audio real-time factor including extraction, ticks run).
+    ``shard_devices`` > 0 shards the library (and the incremental mode's
+    diagonal state) that many ways over a device mesh —
+    scripts/bench_streaming_identify_mesh.py runs this on the virtual CPU
+    mesh; on a pod it measures the real sharded tick rate."""
     from lbaudiodetective_tpu.models.library import FingerprintLibrary
     from lbaudiodetective_tpu.streaming.identify import StreamingIdentifier
     from lbaudiodetective_tpu.utils.packing import words_per_plane
@@ -421,6 +426,13 @@ def bench_streaming_identify(config, n_streams: int = 256,
         rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
         rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
         np.full(lib_size, s_lib, np.int32), pairs, config)
+    if shard_devices:
+        from lbaudiodetective_tpu.parallel.mesh import make_mesh
+        from lbaudiodetective_tpu.parallel.sharded_library import (
+            ShardedFingerprintLibrary)
+
+        lib = ShardedFingerprintLibrary(
+            lib, make_mesh(library_parallelism=shard_devices))
     chunks = (rng.standard_normal((steps, n_streams, chunk))
               * 3276.8).astype(np.int16)
     audio_seconds = steps * chunk / config.processing_sample_rate * n_streams

@@ -322,13 +322,7 @@ class IdentificationService:
                 f"<= {self.stream_library_max} tracks (this one has "
                 f"{len(self.library)}); use /identify-fingerprint")
         with self._slock:
-            if self._template is None:
-                from lbaudiodetective_tpu.streaming.incremental import (
-                    IncrementalLibraryMatcher)
-
-                self._template = IncrementalLibraryMatcher(
-                    self.library, batch=1, n_cap=self.stream_cap,
-                    config=self.config)
+            self._ensure_template()
             if len(self._sessions) >= self.max_sessions:
                 # Evict the least-recently-used session, but only if it is
                 # genuinely idle — an at-capacity server full of live
@@ -390,15 +384,33 @@ class IdentificationService:
                          "score": float(s)} for i, s in zip(ix, sc)],
                 "n": int(m.n)}
 
+    def _ensure_template(self) -> None:
+        """Lazily build the per-library incremental-matcher template the
+        per-session clones share (callers hold ``_slock``)."""
+        if self._template is None:
+            from lbaudiodetective_tpu.streaming.incremental import (
+                IncrementalLibraryMatcher)
+
+            self._template = IncrementalLibraryMatcher(
+                self.library, batch=1, n_cap=self.stream_cap,
+                config=self.config)
+
     def save_sessions(self, dir_path: str) -> int:
         """Checkpoint every live session's incremental state (one npz per
         session) so a server restart does not lose streams whose audio
-        only ever existed as posted increments.  Returns the count."""
+        only ever existed as posted increments.  Returns the count.
+        Checkpoints of sessions no longer live (closed/evicted since the
+        last save) are removed — the directory always mirrors the current
+        session table."""
         import os
 
         os.makedirs(dir_path, exist_ok=True)
         with self._slock:
             items = list(self._sessions.items())
+        live = {f"{sid}.npz" for sid, _ in items}
+        for fname in os.listdir(dir_path):
+            if fname.endswith(".npz") and fname not in live:
+                os.unlink(os.path.join(dir_path, fname))
         n = 0
         for sid, sess in items:
             with sess["lock"]:
@@ -408,26 +420,29 @@ class IdentificationService:
 
     def load_sessions(self, dir_path: str) -> int:
         """Restore sessions saved by :meth:`save_sessions` against the SAME
-        library (state-key checked per file).  Returns the count."""
+        library (state-key checked per file).  Returns the count.
+        Unreadable or mismatched checkpoints (library re-enrolled, file
+        truncated by a crash) are skipped with a warning — one bad file
+        must not keep the server from booting."""
         import os
+        import sys
         import time
 
         count = 0
         with self._slock:
-            if self._template is None:
-                from lbaudiodetective_tpu.streaming.incremental import (
-                    IncrementalLibraryMatcher)
-
-                self._template = IncrementalLibraryMatcher(
-                    self.library, batch=1, n_cap=self.stream_cap,
-                    config=self.config)
+            self._ensure_template()
             for fname in sorted(os.listdir(dir_path)):
                 if not fname.endswith(".npz"):
                     continue
                 if len(self._sessions) >= self.max_sessions:
                     break
                 m = self._template.clone_empty()
-                m.restore_state(os.path.join(dir_path, fname))
+                try:
+                    m.restore_state(os.path.join(dir_path, fname))
+                except Exception as e:  # noqa: BLE001 — skip, don't brick boot
+                    print(f"skipping session checkpoint {fname}: {e}",
+                          file=sys.stderr)
+                    continue
                 self._sessions[fname[:-4]] = {
                     "m": m, "t": time.monotonic(),
                     "lock": threading.Lock()}
@@ -436,9 +451,13 @@ class IdentificationService:
 
     def stream_peek(self, sid: str) -> dict:
         """Current running result of a session without posting new
-        subfingerprints (``GET /stream/<id>``)."""
+        subfingerprints (``GET /stream/<id>``).  Counts as activity — a
+        client polling between posts must not become LRU-evictable."""
+        import time
+
         sess = self._stream_session(sid)
         with sess["lock"]:
+            sess["t"] = time.monotonic()
             return self._stream_result(sess["m"])
 
     def stream_close(self, sid: str) -> dict:

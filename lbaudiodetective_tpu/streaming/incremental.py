@@ -330,9 +330,12 @@ class IncrementalLibraryMatcher:
                  if getattr(self.library, "mesh", None) is not None
                  else self.library)
         h.update(np.ascontiguousarray(np.asarray(inner.pos_words)).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(inner.neg_words)).tobytes())
         h.update(np.ascontiguousarray(np.asarray(inner.counts)).tobytes())
         g, l, s = self._geom
-        h.update(f"{g},{l},{s},{self.batch},{self.pairs}".encode())
+        h.update(f"{g},{l},{s},{self.batch},{self.pairs},"
+                 f"{self.comparison_range},"
+                 f"{self.config.subfingerprint_length}".encode())
         self._state_key_cache = h.hexdigest()[:16]
         return self._state_key_cache
 

@@ -193,6 +193,19 @@ def test_incremental_state_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="different library"):
         other.restore_state(path)
 
+    # The state key covers the NEG planes (a library with identical pos
+    # planes but different negs must be refused) and comparison_range.
+    neg_fps = [Fingerprint(np.asarray(f.pos),
+                           np.zeros_like(np.asarray(f.neg))) for f in fps]
+    neg_lib = FingerprintLibrary.from_fingerprints(neg_fps,
+                                                   FingerprintConfig())
+    with pytest.raises(ValueError, match="different library"):
+        IncrementalLibraryMatcher(neg_lib, batch=2,
+                                  n_cap=4).restore_state(path)
+    with pytest.raises(ValueError, match="different library"):
+        IncrementalLibraryMatcher(lib, batch=2, n_cap=4,
+                                  comparison_range=8).restore_state(path)
+
 
 def test_incremental_state_roundtrip_sharded(tmp_path):
     """The same round-trip with library-axis-sharded state (the host
@@ -253,6 +266,20 @@ def test_serving_session_persistence(decoded_corpus, default_config,
     r_ref = svc.stream_update(sid, inc2.to_string().encode())
     assert r_cont == r_ref and r_cont["n"] == 5
     assert r_cont["track"] == BIRDS[1] and r1["n"] == 3
+
+    # Closed sessions do not resurrect: after close, the next checkpoint
+    # removes the stale file and a third boot restores nothing.
+    import os
+
+    svc2.stream_close(sid)
+    assert svc2.save_sessions(str(tmp_path / "sess")) == 0
+    assert not [f for f in os.listdir(tmp_path / "sess")
+                if f.endswith(".npz")]
+
+    # A corrupt checkpoint is skipped with a warning, never a boot crash.
+    (tmp_path / "sess" / "garbage.npz").write_bytes(b"not an npz")
+    svc3 = IdentificationService(lib, BIRDS[:2], default_config)
+    assert svc3.load_sessions(str(tmp_path / "sess")) == 0
 
 
 def test_streaming_identifier_incremental_mode(decoded_corpus,

@@ -518,6 +518,15 @@ def test_stream_session_errors_and_eviction(decoded_corpus, default_config):
     with _pytest.raises(_errors.InvalidArgumentError):
         svc.stream_update(sid, b"0101")          # wrong length
 
+    # GET peek counts as activity: a polling client must not age toward
+    # LRU eviction.
+    import time as _time
+
+    t0 = svc._sessions[sid]["t"]
+    _time.sleep(0.01)
+    svc.stream_peek(sid)
+    assert svc._sessions[sid]["t"] > t0
+
     # At max_sessions with every session recently active, a new open is
     # refused (429-class) — it must NOT destroy a live client's state.
     s2 = svc.stream_open()["session"]

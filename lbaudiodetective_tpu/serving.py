@@ -77,7 +77,9 @@ class IdentificationService:
                  search_threshold: int = 4096, top_k: int = 5,
                  n_sub_cap: int = 0, stream_cap: int = 256,
                  max_sessions: int = 64, stream_library_max: int = 65536,
-                 stream_idle_evict_s: float = 30.0):
+                 stream_idle_evict_s: float = 30.0,
+                 stream_pool: bool = False,
+                 stream_flush_window_s: float = 0.02):
         if len(names) != len(library):
             raise errors.InvalidArgumentError("names must match library size")
         self.library = library
@@ -116,6 +118,18 @@ class IdentificationService:
         self._slock = threading.Lock()
         self._sessions: dict[str, dict] = {}
         self._template = None
+        #: Pooled sessions: all sessions share one slot-batched matcher
+        #: (streaming/incremental.py::StreamSessionPool) and concurrent
+        #: posts arriving within ``stream_flush_window_s`` fold in ONE
+        #: device dispatch + ONE top-k, instead of two dispatches per post
+        #: — the same micro-batching identify uses, applied to live
+        #: sessions.  Per-slot scores are bitwise equal to the default
+        #: per-session matchers.
+        self.stream_pool = stream_pool
+        self.stream_flush_window_s = stream_flush_window_s
+        self._pool = None
+        self._pcond = threading.Condition()
+        self._ppending: list[dict] = []
 
     @property
     def _use_search(self) -> bool:
@@ -336,10 +350,17 @@ class IdentificationService:
                         f"all {self.max_sessions} session slots hold "
                         "active streams; retry shortly")
                 del self._sessions[victim]
+                if self.stream_pool:
+                    with self._pcond:
+                        self._pool.close(victim)
             sid = uuid.uuid4().hex[:16]
-            self._sessions[sid] = {"m": self._template.clone_empty(),
-                                   "t": time.monotonic(),
-                                   "lock": threading.Lock()}
+            sess = {"t": time.monotonic(), "lock": threading.Lock()}
+            if self.stream_pool:
+                with self._pcond:
+                    self._pool.open(sid)
+            else:
+                sess["m"] = self._template.clone_empty()
+            self._sessions[sid] = sess
         return {"session": sid}
 
     def _stream_session(self, sid: str) -> dict:
@@ -355,6 +376,8 @@ class IdentificationService:
         sess = self._stream_session(sid)
         fp = self._parse_fingerprint_text(payload)
         k = fp.num_subfingerprints
+        if self.stream_pool:
+            return self._stream_update_pooled(sess, sid, fp, k)
         with sess["lock"]:
             m = sess["m"]
             if k:
@@ -369,6 +392,69 @@ class IdentificationService:
                                   np.asarray(fp.neg)[None])
             sess["t"] = time.monotonic()
             return self._stream_result(m)
+
+    def _stream_update_pooled(self, sess: dict, sid: str, fp, k: int) -> dict:
+        """Pooled post: queue the increment, then fold EVERY queued post in
+        one batched dispatch (leader/follower over
+        ``stream_flush_window_s``, the micro-batching identify uses) and
+        answer all waiters from one device-side top-k."""
+        import time
+
+        entry = {"sid": sid, "done": threading.Event(), "error": None,
+                 "result": None}
+        with self._pcond:
+            if sid not in self._pool._slot:
+                raise errors.InvalidArgumentError(f"unknown session {sid!r}")
+            if k:
+                age = self._pool.age(sid) + self._pool.pending(sid)
+                if age + k > self.stream_cap:
+                    raise errors.InvalidArgumentError(
+                        f"stream age {age + k} exceeds the session cap "
+                        f"({self.stream_cap}); close and re-open")
+                self._pool.post(sid, np.asarray(fp.pos), np.asarray(fp.neg))
+            self._ppending.append(entry)
+            is_leader = len(self._ppending) == 1
+        if is_leader:
+            with self._pcond:
+                if self.stream_flush_window_s > 0:
+                    # Release the lock for the window so concurrent posts
+                    # can join this flush (predicate False = sleep it out).
+                    self._pcond.wait_for(lambda: False,
+                                         timeout=self.stream_flush_window_s)
+                batch, self._ppending = self._ppending, []
+                try:
+                    self._pool.flush()
+                    sc, ix = self._pool.top_k(self.top_k)
+                    for en in batch:
+                        slot = self._pool._slot.get(en["sid"])
+                        if slot is None:            # closed while queued
+                            en["error"] = errors.InvalidArgumentError(
+                                f"unknown session {en['sid']!r}")
+                        else:
+                            en["result"] = self._pool_result(
+                                en["sid"], sc[slot], ix[slot])
+                except Exception as e:  # noqa: BLE001 — fail all waiters
+                    for en in batch:
+                        if en["error"] is None and en["result"] is None:
+                            en["error"] = e
+                finally:
+                    for en in batch:
+                        en["done"].set()
+        else:
+            entry["done"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        sess["t"] = time.monotonic()
+        return entry["result"]
+
+    def _pool_result(self, sid: str, sc: np.ndarray, ix: np.ndarray) -> dict:
+        n = self._pool.age(sid)
+        if n == 0:
+            return {"track": None, "score": 0.0, "top": [], "n": 0}
+        return {"track": self.names[int(ix[0])], "score": float(sc[0]),
+                "top": [{"track": self.names[int(i)],
+                         "score": float(s)} for i, s in zip(ix, sc)],
+                "n": n}
 
     def _stream_result(self, m) -> dict:
         if m.n == 0:
@@ -387,6 +473,15 @@ class IdentificationService:
     def _ensure_template(self) -> None:
         """Lazily build the per-library incremental-matcher template the
         per-session clones share (callers hold ``_slock``)."""
+        if self.stream_pool:
+            if self._pool is None:
+                from lbaudiodetective_tpu.streaming.incremental import (
+                    StreamSessionPool)
+
+                self._pool = StreamSessionPool(
+                    self.library, slots=self.max_sessions,
+                    n_cap=self.stream_cap, config=self.config)
+            return
         if self._template is None:
             from lbaudiodetective_tpu.streaming.incremental import (
                 IncrementalLibraryMatcher)
@@ -412,6 +507,14 @@ class IdentificationService:
             if fname.endswith(".npz") and fname not in live:
                 os.unlink(os.path.join(dir_path, fname))
         n = 0
+        if self.stream_pool:
+            with self._pcond:
+                self._pool.flush()      # pending posts become device state
+                for sid, _ in items:
+                    self._pool.save_session(
+                        sid, os.path.join(dir_path, f"{sid}.npz"))
+                    n += 1
+            return n
         for sid, sess in items:
             with sess["lock"]:
                 sess["m"].save_state(os.path.join(dir_path, f"{sid}.npz"))
@@ -436,16 +539,27 @@ class IdentificationService:
                     continue
                 if len(self._sessions) >= self.max_sessions:
                     break
-                m = self._template.clone_empty()
+                sid = fname[:-4]
+                sess = {"t": time.monotonic(), "lock": threading.Lock()}
                 try:
-                    m.restore_state(os.path.join(dir_path, fname))
+                    if self.stream_pool:
+                        with self._pcond:
+                            self._pool.open(sid)
+                            try:
+                                self._pool.restore_session(
+                                    sid, os.path.join(dir_path, fname))
+                            except Exception:
+                                self._pool.close(sid)
+                                raise
+                    else:
+                        m = self._template.clone_empty()
+                        m.restore_state(os.path.join(dir_path, fname))
+                        sess["m"] = m
                 except Exception as e:  # noqa: BLE001 — skip, don't brick boot
                     print(f"skipping session checkpoint {fname}: {e}",
                           file=sys.stderr)
                     continue
-                self._sessions[fname[:-4]] = {
-                    "m": m, "t": time.monotonic(),
-                    "lock": threading.Lock()}
+                self._sessions[sid] = sess
                 count += 1
         return count
 
@@ -456,6 +570,16 @@ class IdentificationService:
         import time
 
         sess = self._stream_session(sid)
+        if self.stream_pool:
+            with self._pcond:
+                if sid not in self._pool._slot:
+                    raise errors.InvalidArgumentError(
+                        f"unknown session {sid!r}")
+                self._pool.flush()      # fold this session's queued posts
+                slot = self._pool._slot[sid]
+                sc, ix = self._pool.top_k(self.top_k)
+                sess["t"] = time.monotonic()
+                return self._pool_result(sid, sc[slot], ix[slot])
         with sess["lock"]:
             sess["t"] = time.monotonic()
             return self._stream_result(sess["m"])
@@ -465,6 +589,17 @@ class IdentificationService:
             sess = self._sessions.pop(sid, None)
         if sess is None:
             raise errors.InvalidArgumentError(f"unknown session {sid!r}")
+        if self.stream_pool:
+            with self._pcond:
+                if sid not in self._pool._slot:
+                    raise errors.InvalidArgumentError(
+                        f"unknown session {sid!r}")
+                self._pool.flush()      # fold any queued posts first
+                slot = self._pool._slot[sid]
+                sc, ix = self._pool.top_k(self.top_k)
+                result = self._pool_result(sid, sc[slot], ix[slot])
+                self._pool.close(sid)
+                return result
         with sess["lock"]:
             return self._stream_result(sess["m"])
 

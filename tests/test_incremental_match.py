@@ -158,6 +158,82 @@ def test_incremental_update_bucketed_equal():
     assert a.n == b.n == n
 
 
+def test_session_pool_bitwise_equal_async():
+    """StreamSessionPool: asynchronous per-slot posts folded in ONE batched
+    dispatch score bitwise equal to dedicated per-session matchers fed the
+    same increments, through uneven schedules, slot reuse and growth."""
+    from lbaudiodetective_tpu.streaming.incremental import StreamSessionPool
+
+    rng = np.random.default_rng(31)
+    pairs = 100
+    fps = [Fingerprint(*_random_planes(rng, 6, pairs)) for _ in range(4)]
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+    pool = StreamSessionPool(lib, slots=3, n_cap=4)     # forces growth
+
+    refs: dict[str, IncrementalLibraryMatcher] = {}
+    streams: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def open_(sid):
+        pool.open(sid)
+        refs[sid] = IncrementalLibraryMatcher(lib, batch=1, n_cap=4)
+        streams[sid] = _random_planes(rng, 16, pairs)
+
+    def post(sid, k):
+        a0 = refs[sid].n + pool.pending(sid)
+        p, q = streams[sid]
+        pool.post(sid, p[a0:a0 + k], q[a0:a0 + k])
+
+    def flush_and_check():
+        # Feed each session's pending increments to its reference matcher
+        # in the same order, then flush the pool once and compare.
+        for sid, parts in list(pool._pending.items()):
+            p = np.concatenate([x for x, _ in parts])
+            q = np.concatenate([x for _, x in parts])
+            refs[sid].update(p[None], q[None])
+        pool.flush()
+        sc_k, ix_k = pool.top_k(2)
+        for sid, ref in refs.items():
+            if sid not in pool._slot:
+                continue
+            got = pool.scores_for(sid)
+            want = ref.scores()[0]
+            np.testing.assert_array_equal(got, want, err_msg=sid)
+            g = pool._slot[sid]
+            order = np.argsort(-want, kind="stable")[:2]
+            np.testing.assert_array_equal(ix_k[g], order, err_msg=sid)
+            assert pool.age(sid) == ref.n
+
+    open_("a"); open_("b")
+    post("a", 3)
+    flush_and_check()
+    post("b", 2); post("a", 1)
+    flush_and_check()
+    open_("c")
+    post("c", 4); post("b", 1); post("b", 2)   # two posts, one flush
+    flush_and_check()
+    post("a", 5)                                # a grows past n_cap=4
+    flush_and_check()
+    assert pool._m.n_cap >= 9
+
+    # Slot reuse: closing a session zeroes its slot; a new session in the
+    # same slot starts fresh.
+    slot_b = pool._slot["b"]
+    pool.close("b")
+    del refs["b"]
+    open_("d")
+    assert pool._slot["d"] == slot_b
+    assert pool.age("d") == 0
+    post("d", 2)
+    flush_and_check()
+
+    # Idle flush is a no-op; unknown sessions are refused.
+    assert pool.flush() == 0
+    with pytest.raises(KeyError):
+        pool.post("nope", *_random_planes(rng, 1, pairs))
+    with pytest.raises(RuntimeError):
+        pool.open("e")                          # 3 slots, all taken
+
+
 def test_incremental_state_roundtrip(tmp_path):
     """save_state/restore_state: a fresh clone restored from a checkpoint
     continues the stream with scores identical to the uninterrupted

@@ -212,7 +212,9 @@ def cmd_serve(args) -> int:
     service = IdentificationService(
         lib, names, batch_window_s=args.batch_window,
         max_batch=args.max_batch, n_sub_cap=args.n_sub_cap,
-        search_threshold=args.search_threshold, top_k=args.top_k)
+        search_threshold=args.search_threshold, top_k=args.top_k,
+        stream_pool=args.stream_pool,
+        stream_flush_window_s=args.stream_flush_window)
     if args.sessions_dir and pathlib.Path(args.sessions_dir).is_dir():
         n = service.load_sessions(args.sessions_dir)
         if n:
@@ -366,6 +368,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--sessions-dir", default="", metavar="DIR",
                    help="persist live-recognition sessions here on shutdown "
                         "and restore them on boot (same library required)")
+    s.add_argument("--stream-pool", action="store_true",
+                   help="pool live-recognition sessions in one slot-batched "
+                        "matcher: concurrent posts fold into a single "
+                        "device dispatch per flush window")
+    s.add_argument("--stream-flush-window", type=float, default=0.02,
+                   metavar="S", help="pooled-session flush window seconds")
     s.set_defaults(fn=cmd_serve)
 
     cl = sub.add_parser("client", help="POST a clip to a running server")

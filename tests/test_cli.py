@@ -143,12 +143,14 @@ def test_serve_flags_reach_service(tiny_corpus, tmp_path, capsys, monkeypatch):
     assert main(["serve", "--library", lib, "--port", "9999",
                  "--batch-window", "0.25", "--max-batch", "4",
                  "--n-sub-cap", "48", "--search-threshold", "2",
-                 "--top-k", "3"]) == 0
+                 "--top-k", "3", "--stream-pool",
+                 "--stream-flush-window", "0.1"]) == 0
     svc = captured["svc"]
     assert captured["port"] == 9999
     assert svc.batch_window_s == 0.25 and svc.max_batch == 4
     assert svc.n_sub_cap == 48 and svc.search_threshold == 2
     assert svc.top_k == 3
+    assert svc.stream_pool and svc.stream_flush_window_s == 0.1
 
 
 def test_serve_sessions_dir_roundtrip(tiny_corpus, tmp_path, capsys,

@@ -234,6 +234,39 @@ def test_session_pool_bitwise_equal_async():
         pool.open("e")                          # 3 slots, all taken
 
 
+def test_session_pool_sharded_library():
+    """StreamSessionPool over a mesh-sharded library: slot-batched updates
+    vmap over library-axis-sharded state, scores bitwise equal to a plain
+    single-device reference matcher."""
+    import jax
+
+    from lbaudiodetective_tpu.parallel.mesh import make_mesh
+    from lbaudiodetective_tpu.parallel.sharded_library import (
+        ShardedFingerprintLibrary)
+    from lbaudiodetective_tpu.streaming.incremental import StreamSessionPool
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(61)
+    pairs = 100
+    fps = [Fingerprint(*_random_planes(rng, 5, pairs)) for _ in range(6)]
+    lib = FingerprintLibrary.from_fingerprints(fps, FingerprintConfig())
+    slib = ShardedFingerprintLibrary(lib, make_mesh(8, library_parallelism=4))
+    pool = StreamSessionPool(slib, slots=3, n_cap=8)
+    ref = IncrementalLibraryMatcher(lib, batch=1, n_cap=8)
+
+    p, q = _random_planes(rng, 10, pairs)
+    pool.open("x")
+    pool.open("y")
+    pool.post("x", p[:3], q[:3])
+    pool.post("y", np.asarray(fps[2].pos)[:4], np.asarray(fps[2].neg)[:4])
+    pool.flush()
+    ref.update(p[None, :3], q[None, :3])
+    np.testing.assert_array_equal(pool.scores_for("x"), ref.scores()[0])
+    sc, ix = pool.top_k(2)
+    assert int(ix[pool._slot["y"]][0]) == 2
+    assert abs(float(sc[pool._slot["y"]][0]) - 1.0) < 1e-6
+
+
 def test_incremental_state_roundtrip(tmp_path):
     """save_state/restore_state: a fresh clone restored from a checkpoint
     continues the stream with scores identical to the uninterrupted

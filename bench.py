@@ -472,6 +472,83 @@ def bench_streaming_identify(config, n_streams: int = 256,
     return run_mode("full"), run_mode("incremental")
 
 
+def bench_session_pool(config, n_sessions: int = 64, lib_size: int = 16384,
+                       s_lib: int = 32, rounds: int = 5, k_post: int = 4,
+                       baseline_sessions: int = 8):
+    """Pooled vs per-session live-recognition posts (device dispatches are
+    the cost: per-session mode pays update + top-k per POST; the pool pays
+    one flush + one top-k per WINDOW regardless of session count).
+
+    Measures aggregate posts/s: ``n_sessions`` sessions each posting
+    ``k_post`` subfingerprints per round through a StreamSessionPool (one
+    flush+top-k per round), vs ``baseline_sessions`` dedicated per-session
+    matchers posting the same increments individually (extrapolating the
+    per-post cost — running 64 serial per-session posts through the relay
+    would dominate the bench budget)."""
+    from lbaudiodetective_tpu.models.library import FingerprintLibrary
+    from lbaudiodetective_tpu.streaming.incremental import (
+        IncrementalLibraryMatcher, StreamSessionPool)
+    from lbaudiodetective_tpu.utils.packing import words_per_plane
+
+    pairs = config.num_wavelet_pairs
+    w = words_per_plane(pairs)
+    rng = np.random.default_rng(13)
+    lib = FingerprintLibrary(
+        rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
+        rng.integers(0, 2**32, size=(lib_size, s_lib, w), dtype=np.uint32),
+        np.full(lib_size, s_lib, np.int32), pairs, config)
+
+    def planes(k):
+        p = (rng.random((k, pairs)) < 0.5).astype(np.uint8)
+        q = ((rng.random((k, pairs)) < 0.5) & (p == 0)).astype(np.uint8)
+        return p, q
+
+    n_cap = rounds * k_post + k_post
+    pool = StreamSessionPool(lib, slots=n_sessions, n_cap=n_cap,
+                             config=config)
+    sids = [f"s{i}" for i in range(n_sessions)]
+    for sid in sids:
+        pool.open(sid)
+    incs = {sid: planes(rounds * k_post) for sid in sids}
+    # Warm (compile flush + top-k shapes).
+    for sid in sids:
+        pool.post(sid, incs[sid][0][:k_post], incs[sid][1][:k_post])
+    pool.flush()
+    pool.top_k(5)
+
+    t0 = time.perf_counter()
+    for r in range(1, rounds):
+        for sid in sids:
+            p, q = incs[sid]
+            pool.post(sid, p[r * k_post:(r + 1) * k_post],
+                      q[r * k_post:(r + 1) * k_post])
+        pool.flush()
+        pool.top_k(5)
+    dt_pool = time.perf_counter() - t0
+    pool_posts_per_sec = n_sessions * (rounds - 1) / dt_pool
+
+    # Per-session baseline: dedicated matchers, one update + one top-k per
+    # post (what the default serving mode dispatches).
+    template = IncrementalLibraryMatcher(lib, batch=1, n_cap=n_cap,
+                                         config=config)
+    mats = {i: template.clone_empty() for i in range(baseline_sessions)}
+    for i, m in mats.items():
+        p, q = incs[sids[i]]
+        m.update(p[None, :k_post], q[None, :k_post])   # warm
+        m.top_k(5)
+    t0 = time.perf_counter()
+    for r in range(1, rounds):
+        for i, m in mats.items():
+            p, q = incs[sids[i]]
+            m.update(p[None, r * k_post:(r + 1) * k_post],
+                     q[None, r * k_post:(r + 1) * k_post])
+            m.top_k(5)
+    dt_one = time.perf_counter() - t0
+    per_session_posts_per_sec = baseline_sessions * (rounds - 1) / dt_one
+    return (pool_posts_per_sec, per_session_posts_per_sec,
+            n_sessions, baseline_sessions)
+
+
 def bench_serving(config, max_batch: int = 8, threads: int = 8,
                   window_s: float = 0.05):
     """End-to-end HTTP serving throughput on the essay's real workload.
@@ -751,6 +828,24 @@ def main():
             }
         except Exception as e:
             details["streaming_identify_error"] = str(e)[:200]
+
+    if "--session-pool" in sys.argv:
+        try:
+            sp_sessions = 16 if quick else 64
+            sp_lib = 2048 if quick else 16384
+            with timers.stage("session_pool"):
+                pool_pps, one_pps, n_sess, n_base = bench_session_pool(
+                    parity_cfg, n_sessions=sp_sessions, lib_size=sp_lib)
+            details["session_pool"] = {
+                "pooled_posts_per_sec": pool_pps,
+                "per_session_posts_per_sec": one_pps,
+                "speedup": pool_pps / one_pps if one_pps else None,
+                "pool_sessions": n_sess,
+                "baseline_sessions": n_base,
+                "library_size": sp_lib,
+            }
+        except Exception as e:
+            details["session_pool_error"] = str(e)[:200]
 
     details["host_stage_seconds"] = timers.report()
     with open("bench_details.json", "w") as f:

@@ -38,7 +38,29 @@ CACHE = REPO_ROOT / "tests" / "_cache"
 CACHE.mkdir(exist_ok=True)
 
 # Persistent XLA compilation cache: repeated test runs skip recompilation.
-jax.config.update("jax_compilation_cache_dir", str(CACHE / "xla"))
+# The dir is keyed by a host-CPU-feature fingerprint: XLA's cache key does
+# NOT include machine features, and loading a CPU AOT executable compiled on
+# a host with different features (these VMs migrate between machine types
+# across sessions) segfaults inside cpu_aot_loader.  A new machine type gets
+# a cold cache instead of a crash.  (The TPU scripts keep tests/_cache/xla —
+# their executables are TPU, never routed through the CPU AOT loader.)
+
+
+def _host_cpu_tag() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "unknown"
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(CACHE / f"xla_cpu_{_host_cpu_tag()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

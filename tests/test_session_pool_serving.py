@@ -49,6 +49,9 @@ def test_pooled_matches_default_stepwise():
         r4 = plain.stream_update(db, _sub_strings(fps[2], x, y))
         assert r3 == r4
     assert r1["track"] == "t1" and r3["track"] == "t2"
+    # Heartbeat (empty post) answers from unchanged state in pool mode too.
+    hb = pooled.stream_update(pa, b"")
+    assert hb == r1 and hb["n"] == 6
     # Peek and close agree too.
     assert pooled.stream_peek(pa) == plain.stream_peek(da)
     assert pooled.stream_close(pa) == plain.stream_close(da)

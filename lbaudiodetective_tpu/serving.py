@@ -414,13 +414,17 @@ class IdentificationService:
                 self._pool.post(sid, np.asarray(fp.pos), np.asarray(fp.neg))
             self._ppending.append(entry)
             is_leader = len(self._ppending) == 1
+            if len(self._ppending) >= self.max_sessions:
+                self._pcond.notify_all()         # wake the leader early
         if is_leader:
             with self._pcond:
                 if self.stream_flush_window_s > 0:
                     # Release the lock for the window so concurrent posts
-                    # can join this flush (predicate False = sleep it out).
-                    self._pcond.wait_for(lambda: False,
-                                         timeout=self.stream_flush_window_s)
+                    # can join this flush; a full window (every slot has a
+                    # pending post) wakes the leader early.
+                    self._pcond.wait_for(
+                        lambda: len(self._ppending) >= self.max_sessions,
+                        timeout=self.stream_flush_window_s)
                 batch, self._ppending = self._ppending, []
                 try:
                     self._pool.flush()

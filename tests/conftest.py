@@ -59,10 +59,11 @@ def _host_cpu_tag() -> str:
     return "unknown"
 
 
-jax.config.update("jax_compilation_cache_dir",
-                  str(CACHE / f"xla_cpu_{_host_cpu_tag()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if not os.environ.get("LBAD_NO_XLA_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      str(CACHE / f"xla_cpu_{_host_cpu_tag()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BIRDS = ["BlackBird", "BlueTit", "Chaffinch", "Sparrow", "GreatTit",
          "Crow", "Wren", "Chiffchaff", "Kestrel", "Pigeon"]

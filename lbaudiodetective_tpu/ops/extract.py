@@ -168,9 +168,13 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
             # VPU bitonic overlaps the MXU stage-2 (~88% measured overlap,
             # scripts/probe_mxu_vpu_overlap.py); single-step-per-clip grids
             # (proc hop, short clips) lag along the batch axis instead.
-            # Only a 1-clip single-step dispatch has nothing to lag behind
-            # — the wrapper falls back to the standalone select there, as
-            # does this gate (subfingerprints_from_rows below).
+            # The default tail handling is "stitch" (each clip's final step
+            # selected outside the grid): the pl.when-gated "fold" variant
+            # serialises the select against the matmuls and measured 12-20%
+            # slower on-chip (scripts/queue_logs_r04 q6/q7).  Only a 1-clip
+            # single-step dispatch has nothing to lag behind — the wrapper
+            # falls back to the standalone select there, as does this gate
+            # (subfingerprints_from_rows below).
             cls = fused_band_rows_v3(batched, config, n_rows, fuse_haar=True,
                                      pipe_select=True)       # [B, n_tiles, 128]
             topcls = cls[..., :k] if audio.ndim == 2 else cls[0][..., :k]

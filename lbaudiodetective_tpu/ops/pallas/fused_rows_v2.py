@@ -673,7 +673,8 @@ def v3_tiles_per_step(n_tiles: int) -> int:
                                    "batched_rolls", "aux_bf16x3", "tps_override",
                                    "proj_concat", "conj_pairs", "fuse_select",
                                    "dense_pairs", "aux_two_pass", "cat_gk",
-                                   "vmaj", "cost_hint", "pipe_select"))
+                                   "vmaj", "cost_hint", "pipe_select",
+                                   "pipe_tail"))
 def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        n_rows: int, interpret: bool = False,
                        fuse_haar: bool = False,
@@ -688,7 +689,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        cat_gk: bool = False,
                        vmaj: bool = False,
                        cost_hint: bool = False,
-                       pipe_select: bool = False) -> jnp.ndarray:
+                       pipe_select: bool = False,
+                       pipe_tail: str = "stitch") -> jnp.ndarray:
     # dense_pairs is a MEASURED NEGATIVE on v5e (scripts/ab_dense.py): the
     # 22% stage-2 MAC cut (2048 -> 1600 lanes) times out at 26.0 ms vs 24.9
     # ms per 128 parity clips because N=192 matmuls do not run
@@ -844,20 +846,33 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         # select kernel for that shape) — use the plain fused path instead.
         pipe_select = False
         fuse_select = True
+    if pipe_tail not in ("stitch", "fold"):
+        raise ValueError("pipe_tail must be 'stitch' or 'fold'")
     # Lag axis: the innermost grid axis when clips span several steps;
     # otherwise lag along the batch axis (proc hop / short clips: one step
     # per clip, so consecutive grid steps ARE consecutive clips).  The
     # batch lag needs sequential batch semantics ("arbitrary") so the t=0
     # garbage write is overwritten by its successor before the block
     # flushes.
-    lag_t = pipe_select and n_steps >= 2
+    #
+    # Multi-step tail handling (pipe_tail): "stitch" (default) keeps the
+    # select and the matmuls in ONE straight-line kernel body (that is what
+    # lets Mosaic interleave the VPU bitonic under the MXU drains — the
+    # on-chip 4,572 clips/s round-3 measurement) and selects each clip's
+    # final step in a small standalone kernel outside the grid.  "fold"
+    # (lag_t) instead runs one extra select-only grid step per clip with the
+    # matmuls pl.when-gated off; the two pl.when regions serialise the VPU
+    # select against the MXU matmuls and measured 3,594-3,684 clips/s
+    # on-chip (scripts/queue_logs_r04 q6/q7) — kept as a variant for A/B.
+    lag_t = pipe_select and n_steps >= 2 and pipe_tail == "fold"
+    t_lag = pipe_select and n_steps >= 2 and not lag_t
     scratch_shapes = None
     if pipe_select:
         if not fuse_haar or rpf != 128 or bands != 32:
             raise ValueError("pipe_select requires fuse_haar with the "
                              "128-row / 32-band frame geometry")
         if lag_t:
-            # Lagged: step t emits the select of step t-1's frames; the
+            # Folded: step t emits the select of step t-1's frames; the
             # grid runs one EXTRA (select-only) step per clip, so every
             # block 0..n_steps-1 is written and no tail stitch is needed
             # (the t=0 write is pl.when-gated off in the kernel).
@@ -866,6 +881,24 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                                      memory_space=pltpu.VMEM)
             out_shape = jax.ShapeDtypeStruct((batch, n_tiles, _LANE),
                                              jnp.int32)
+        elif t_lag:
+            out_specs = [
+                # Lagged along the grid's t axis: step t emits the select of
+                # step t-1's frames; the t=0 garbage write lands in block 0
+                # and is overwritten by t=1's before the revolving window
+                # flushes (same block index).
+                pl.BlockSpec((1, tps, _LANE),
+                             lambda b, t: (b, jnp.maximum(t - 1, 0), 0),
+                             memory_space=pltpu.VMEM),
+                # Final-step frames, one block per batch item (last write
+                # wins) — selected by the standalone tail kernel below.
+                pl.BlockSpec((1, tps * 32, _LANE), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((batch, n_tiles, _LANE), jnp.int32),
+                jax.ShapeDtypeStruct((batch, tps * 32, _LANE), jnp.float32),
+            ]
         else:
             cls_spec = pl.BlockSpec((1, tps, _LANE),
                                     lambda b, t: (jnp.maximum(b - 1, 0), t, 0),
@@ -941,7 +974,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=(("parallel", "arbitrary") if not pipe_select
-                                 or lag_t else ("arbitrary", "arbitrary"))),
+                                 or lag_t or t_lag
+                                 else ("arbitrary", "arbitrary"))),
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
       jnp.asarray(perm), jnp.asarray(h_cols_t))
@@ -950,10 +984,11 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     if lag_t:
         # The extra select-only grid step emitted every block: done.
         return out
-    # Batch lag: select the final clip's frames (never emitted by the lagged
-    # map) in a small standalone kernel — 1/batch of the select work; the
-    # rest ran overlapped with the matmuls — and stitch it over the
-    # unwritten last block.
+    # Stitch: select the frames the lagged map never emitted (t-lag: each
+    # clip's final step; batch lag: the final clip's single step) in a small
+    # standalone kernel — 1/n_steps (resp. 1/batch) of the select work; the
+    # rest ran overlapped with the matmuls — and stitch them over the
+    # unwritten blocks.
     cls, tail = out
     from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
 
@@ -979,5 +1014,9 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tail)
+    if t_lag:
+        # The unwritten block of every clip is its LAST step's tiles.
+        return jax.lax.dynamic_update_slice(cls, tail_cls,
+                                            (0, n_tiles - tps, 0))
     # Batch lag: the unwritten block is the LAST batch item's (single) step.
     return jax.lax.dynamic_update_slice(cls, tail_cls, (batch - 1, 0, 0))

@@ -56,22 +56,25 @@ def main():
         big = jnp.asarray((rng.standard_normal((Bp, t_pad_p)) * 0.1
                            ).astype(np.float32))
 
+        # NB: `big` must be an ARGUMENT, not a closure constant — a jit
+        # closing over a >~250 MB array exceeds the relay's remote_compile
+        # payload limit (HTTP 413; see ROUND_NOTES round-3 probes).
         @jax.jit
-        def step(c, kw=kw):
-            out = fused_band_rows_v3(big + c * 0.0, cfg, n_rows_p,
+        def step(a, c, kw=kw):
+            out = fused_band_rows_v3(a + c * 0.0, cfg, n_rows_p,
                                      fuse_haar=True, **kw)
             return c + out.reshape(-1)[0].astype(jnp.float32) * 1e-30
 
         c = jnp.float32(0.0)
         for _ in range(3):
-            c = step(c)
+            c = step(big, c)
         float(np.asarray(c))
         best = 1e9
         for _ in range(3):
             c = jnp.float32(0.0)
             t0 = time.perf_counter()
             for _ in range(20):
-                c = step(c)
+                c = step(big, c)
             float(np.asarray(c))
             best = min(best, (time.perf_counter() - t0) / 20)
         print(f"{label:20s} {best * 1e3:7.2f} ms / {Bp} proc clips")

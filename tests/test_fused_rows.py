@@ -142,6 +142,31 @@ def test_v3_pipe_select_batch_lag():
     np.testing.assert_array_equal(cls_pipe, cls_two)
 
 
+@pytest.mark.parametrize("pipe_tail", ["stitch", "fold"])
+def test_v3_pipe_select_tail_variants(pipe_tail):
+    """Both multi-step tail handlings are element-exact: "stitch" (default:
+    straight-line select+matmul body, final step selected outside the grid)
+    and "fold" (extra pl.when-gated select-only grid step per clip)."""
+    from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
+    from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
+
+    cfg = FingerprintConfig()
+    n_rows = 24 * 128                                    # 3 grid steps (tps=8)
+    t_pad = required_padded_length(cfg, n_rows)
+    rng = np.random.default_rng(56)
+    audio = jnp.asarray((np.cumsum(rng.standard_normal((2, t_pad)), axis=1)
+                         * 0.01).astype(np.float32))
+    coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                fuse_haar=True)
+    cls_two = np.asarray(select_sign_classes(
+        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)), f_blk=8,
+        interpret=True))
+    cls_pipe = np.asarray(fused_band_rows_v3(
+        audio, cfg, n_rows, interpret=True, fuse_haar=True,
+        pipe_select=True, pipe_tail=pipe_tail)).reshape(-1, 128)
+    np.testing.assert_array_equal(cls_pipe, cls_two)
+
+
 @pytest.mark.parametrize("n_tiles,b", [
     (4, 3),     # tps=4, n_steps=1 -> batch lag at tps=4
     (12, 2),    # tps=4, n_steps=3 -> time lag at tps=4
@@ -172,6 +197,12 @@ def test_v3_pipe_select_small_tps(n_tiles, b):
         audio, cfg, n_rows, interpret=True, fuse_haar=True,
         pipe_select=True)).reshape(-1, 128)
     np.testing.assert_array_equal(cls_pipe, cls_two)
+    if n_tiles // v3_tiles_per_step(n_tiles) >= 2:
+        # Multi-step geometries also have the folded-tail variant.
+        cls_fold = np.asarray(fused_band_rows_v3(
+            audio, cfg, n_rows, interpret=True, fuse_haar=True,
+            pipe_select=True, pipe_tail="fold")).reshape(-1, 128)
+        np.testing.assert_array_equal(cls_fold, cls_two)
 
 
 def test_v3_pipe_select_multi_step():

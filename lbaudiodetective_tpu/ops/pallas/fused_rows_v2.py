@@ -300,11 +300,11 @@ def _rows_kernel_v3(*refs,
                     two_pass: bool = False, fuse_select: bool = False,
                     dense_pairs: bool = False, aux2: bool = False,
                     cat_gk: bool = False, vmaj: bool = False,
-                    pipe_select: bool = False, lag_t: bool = False,
+                    pipe_select: bool = False, tail_fold: bool = False,
                     n_steps: int = 0):
     blk_refs = refs[:n_blk]
     if pipe_select:
-        if lag_t:
+        if tail_fold:
             (c16_re_ref, c16_im_ref, t2a_ref, t2b_ref, proj_ref,
              perm_ref, hcols_ref, out_ref, sel_scr) = refs[n_blk:]
         else:
@@ -317,7 +317,7 @@ def _rows_kernel_v3(*refs,
         # out_specs index map routes this write to block t-1.
         from lbaudiodetective_tpu.ops.pallas.select_signs import _select_body
 
-        if lag_t:
+        if tail_fold:
             # The grid runs n_steps+1 steps per clip: the extra final step
             # is select-only (matmuls pl.when-gated off below), replacing
             # the old standalone tail kernel + stitch.  t=0 has nothing to
@@ -640,7 +640,7 @@ def _rows_kernel_v3(*refs,
                 [jnp.transpose(out[k * rows:(k + 1) * rows, :], (1, 0))
                  for k in range(tps)], axis=0)              # [tps*32, 128]
             sel_scr[:] = t_frames
-            if not lag_t:
+            if not tail_fold:
                 tail_ref[0] = t_frames
             return
         if fuse_select:
@@ -657,7 +657,7 @@ def _rows_kernel_v3(*refs,
             return
         out_ref[0] = out
 
-    if pipe_select and lag_t:
+    if pipe_select and tail_fold:
         # Extra final grid step is select-only: skip the matmuls.
         pl.when(pl.program_id(1) < n_steps)(_main)
     else:
@@ -860,18 +860,18 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     # lets Mosaic interleave the VPU bitonic under the MXU drains — the
     # on-chip 4,572 clips/s round-3 measurement) and selects each clip's
     # final step in a small standalone kernel outside the grid.  "fold"
-    # (lag_t) instead runs one extra select-only grid step per clip with the
+    # (tail_fold) instead runs one extra select-only grid step per clip with the
     # matmuls pl.when-gated off; the two pl.when regions serialise the VPU
     # select against the MXU matmuls and measured 3,594-3,684 clips/s
     # on-chip (scripts/queue_logs_r04 q6/q7) — kept as a variant for A/B.
-    lag_t = pipe_select and n_steps >= 2 and pipe_tail == "fold"
-    t_lag = pipe_select and n_steps >= 2 and not lag_t
+    tail_fold = pipe_select and n_steps >= 2 and pipe_tail == "fold"
+    tail_stitch_t = pipe_select and n_steps >= 2 and not tail_fold
     scratch_shapes = None
     if pipe_select:
         if not fuse_haar or rpf != 128 or bands != 32:
             raise ValueError("pipe_select requires fuse_haar with the "
                              "128-row / 32-band frame geometry")
-        if lag_t:
+        if tail_fold:
             # Folded: step t emits the select of step t-1's frames; the
             # grid runs one EXTRA (select-only) step per clip, so every
             # block 0..n_steps-1 is written and no tail stitch is needed
@@ -881,7 +881,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                                      memory_space=pltpu.VMEM)
             out_shape = jax.ShapeDtypeStruct((batch, n_tiles, _LANE),
                                              jnp.int32)
-        elif t_lag:
+        elif tail_stitch_t:
             out_specs = [
                 # Lagged along the grid's t axis: step t emits the select of
                 # step t-1's frames; the t=0 garbage write lands in block 0
@@ -933,7 +933,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                                  memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((batch, n_rows, bands), jnp.float32)
     grid_spec = pl.GridSpec(
-        grid=(batch, n_steps + 1 if (pipe_select and lag_t) else n_steps),
+        grid=(batch, n_steps + 1 if (pipe_select and tail_fold) else n_steps),
         in_specs=[blk_spec(k) for k in range(n_blk)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=out_specs,
@@ -950,7 +950,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                      dense_pairs=dense,
                      aux2=(two_pass or aux_two_pass) and not interpret,
                      cat_gk=cat, vmaj=vmaj_on, pipe_select=pipe_select,
-                     lag_t=lag_t, n_steps=n_steps)
+                     tail_fold=tail_fold, n_steps=n_steps)
     cost = None
     if cost_hint:
         # Scheduler hint (pl.CostEstimate): stage-2 dominates at ~524K MACs
@@ -974,14 +974,14 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=(("parallel", "arbitrary") if not pipe_select
-                                 or lag_t or t_lag
+                                 or tail_fold or tail_stitch_t
                                  else ("arbitrary", "arbitrary"))),
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
       jnp.asarray(perm), jnp.asarray(h_cols_t))
     if not pipe_select:
         return out
-    if lag_t:
+    if tail_fold:
         # The extra select-only grid step emitted every block: done.
         return out
     # Stitch: select the frames the lagged map never emitted (t-lag: each
@@ -1014,7 +1014,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tail)
-    if t_lag:
+    if tail_stitch_t:
         # The unwritten block of every clip is its LAST step's tiles.
         return jax.lax.dynamic_update_slice(cls, tail_cls,
                                             (0, n_tiles - tps, 0))

@@ -43,19 +43,19 @@ commit_artifacts() {
   done
   grep -v "relay down; sleeping" "$LOG" | tail -c 50000 > "$DEST/tpu_queue_r4d.log"
   local paths=("$DEST" TPU_PARITY_r04.md bench_details.json)
-  local dirty=""
+  local dirty=()
   for p in "${paths[@]}"; do
     [ -e "$p" ] || continue
-    [ -n "$(git status --porcelain -- "$p")" ] && dirty="$dirty $p"
+    [ -n "$(git status --porcelain -- "$p")" ] && dirty+=("$p")
   done
-  if [ -n "$dirty" ]; then
-    git add -- $dirty
-    git commit -q -m "TPU queue artifacts (r4d):$dirty
+  if [ "${#dirty[@]}" -gt 0 ]; then
+    git add -- "${dirty[@]}"
+    git commit -q -m "TPU queue artifacts (r4d): ${dirty[*]}
 
 Auto-committed by scripts/tpu_queue_r4d.sh as the pipe_tail revalidation
 queue drains.
 
-No-Verification-Needed: measurement artifacts only" -- $dirty
+No-Verification-Needed: measurement artifacts only" -- "${dirty[@]}"
   fi
 }
 

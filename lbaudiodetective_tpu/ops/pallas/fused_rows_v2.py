@@ -797,6 +797,20 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         # machinery (see scripts/bisect_v3_cost.py 'floor' variant), so
         # fatter steps win while VMEM allows; 8 beats 4 beats 16 measured.
         tps = v3_tiles_per_step(n_tiles)
+    # Mosaic requires a block's sublane dim to divide by 8 (or equal the
+    # full array dim): the in-kernel select's cls out-spec is (1, tps, 128),
+    # so tps in {1, 2, 4} (odd tile counts) cannot emit the select in-kernel
+    # on hardware (measured on-chip: scripts/probe_proc_splitk.py).  The
+    # bucket-8 extraction path always lands on tps=8; for direct callers,
+    # fall back to the rows-only kernel + the standalone select (same cls
+    # contract, element-exact — the standard two-stage path).  Interpret
+    # mode keeps the in-kernel paths (no Mosaic constraint) so the lag-axis
+    # exactness tests still cover tps=4/2/1.
+    select_outside = ((pipe_select or fuse_select) and tps % 8 != 0
+                      and not interpret)
+    if select_outside:
+        pipe_select = False
+        fuse_select = False
     cat = cat_gk and conj and not dense
     if cat:
         # Stack A over B on the contraction axis: x = [g_re | g_im] @ [A; B].
@@ -979,6 +993,15 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     )(*([audio3d] * n_blk), jnp.asarray(c16), jnp.asarray(s16),
       jnp.asarray(t2a), jnp.asarray(t2b), jnp.asarray(proj_perm),
       jnp.asarray(perm), jnp.asarray(h_cols_t))
+    if select_outside:
+        # Odd-tps hardware fallback (see above): standalone select over the
+        # rows-only output, emitting the same [batch, n_tiles, 128] cls the
+        # in-kernel select paths return.
+        from lbaudiodetective_tpu.ops.pallas.select_signs import (
+            select_sign_classes_padded)
+
+        flat = out.reshape(batch * n_tiles, rpf * bands)
+        return select_sign_classes_padded(flat).reshape(batch, n_tiles, _LANE)
     if not pipe_select:
         return out
     if tail_fold:

@@ -1,5 +1,5 @@
 """Run the five corpus identification matrices END-TO-END on the TPU backend
-and write TPU_PARITY_r04.md (re-validated each round after kernel changes).
+and write TPU_PARITY_r05.md (re-validated each round after kernel changes).
 
 Covers both kernel precisions:
   - shipped default (matmul_precision="high": 3-pass bf16 stage-2)
@@ -8,7 +8,7 @@ Covers both kernel precisions:
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_corpus_parity.py
 Runtime: ~10-20 min cold (remote compiles), ~3 min warm.
 
-NOTE: the committed TPU_PARITY_r03.md includes the 6-pass "highest" tier —
+NOTE: the committed TPU_PARITY_r04.md included the 6-pass "highest" tier —
 regenerating WITHOUT ``--highest`` drops that section; pass ``--highest``
 (adds one more extraction sweep) to rewrite the complete file.
 """
@@ -111,7 +111,7 @@ def main():
     lines.append(f"- fast mode: {'identified counts match CPU goldens' if ok_fast else 'identified counts DIVERGE from CPU goldens — fast mode is NOT validated for identification'}")
     if "--highest" in sys.argv:
         lines.append(f"- highest: {'identified counts match CPU goldens' if ok_highest else 'identified counts DIVERGE — restrict identification_validated to high only'}")
-    out = pathlib.Path("/root/repo/TPU_PARITY_r04.md")
+    out = pathlib.Path("/root/repo/TPU_PARITY_r05.md")
     out.write_text("\n".join(lines) + "\n")
     print(f"wrote {out}", flush=True)
 

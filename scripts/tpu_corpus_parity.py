@@ -91,7 +91,7 @@ def run_mode(cfg, label, lines):
 def main():
     assert jax.default_backend() != "cpu", (
         "this script must run on the TPU backend (run without forcing cpu)")
-    lines = ["# TPU end-to-end corpus identification (round 4)", "",
+    lines = ["# TPU end-to-end corpus identification (round 5)", "",
              f"Device: `{jax.devices()[0]}`; full pipeline (decode on host, "
              "extraction + matching on the TPU backend via the v3 Pallas "
              "kernel path), all five 10x10 matrices.", "",

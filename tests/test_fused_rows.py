@@ -205,7 +205,7 @@ def test_v3_pipe_select_small_tps(n_tiles, b):
         np.testing.assert_array_equal(cls_fold, cls_two)
 
 
-def test_v3_pipe_select_multi_step():
+def _pipe_select_multi_step_body():
     """pipe_select across >2 grid steps and an odd batch: every interior
     block comes from the lagged path, only the last from the tail stitch."""
     from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
@@ -226,6 +226,42 @@ def test_v3_pipe_select_multi_step():
         audio, cfg, n_rows, interpret=True, fuse_haar=True,
         pipe_select=True)).reshape(-1, 128)
     np.testing.assert_array_equal(cls_pipe, cls_two)
+
+
+def test_v3_pipe_select_multi_step():
+    """Runs `_pipe_select_multi_step_body` in a FRESH subprocess.
+
+    This round's jaxlib reliably segfaults on this one large interpret-mode
+    program in any process that has already compiled other programs — the
+    fault moved between `backend_compile_and_load`, `executable.serialize()`
+    and `deserialize_executable` across runs (memory corruption in the XLA
+    CPU client, not repo code; host RAM is free and the same body always
+    passes in a fresh process).  A subprocess with the persistent cache off
+    is the only configuration that has never crashed, at the cost of
+    recompiling the program per run (~90 s)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    for p in (str(repo), str(repo / "tests")):
+        if p not in parts:
+            parts.append(p)
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    script = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+              "import test_fused_rows as t; t._pipe_select_multi_step_body(); "
+              "print('PIPE_SELECT_MULTI_STEP_OK')")
+    proc = subprocess.run([sys.executable, "-c", script], cwd=str(repo),
+                          env=env, capture_output=True, text=True,
+                          timeout=1200)
+    assert proc.returncode == 0 and "PIPE_SELECT_MULTI_STEP_OK" in proc.stdout, (
+        f"subprocess rc={proc.returncode}\n--- stdout ---\n{proc.stdout[-2000:]}"
+        f"\n--- stderr ---\n{proc.stderr[-4000:]}")
 
 
 @pytest.mark.parametrize("stride_cfg,n_rows", [

@@ -81,6 +81,18 @@ class StreamingIdentifier:
         self.rematch = rematch
         self._inc = None
         self._inc_n_cap = n_cap
+        if rematch == "incremental":
+            # Eager: the matcher's __init__ unpacks + uploads the library
+            # planes (~210 MB at 16k tracks) and allocates diagonal state —
+            # pay that at construction, like full mode's plane unpack below,
+            # so the FIRST identify tick is not seconds slower than every
+            # later one.
+            from lbaudiodetective_tpu.streaming.incremental import (
+                IncrementalLibraryMatcher)
+
+            self._inc = IncrementalLibraryMatcher(
+                library, batch, n_cap=n_cap, config=self.config,
+                stream_group=match_stream_group)
         self._consumed = 0
         self.match_every = match_every
         self.batch = batch

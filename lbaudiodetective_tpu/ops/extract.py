@@ -28,6 +28,7 @@ from lbaudiodetective_tpu.ops import spectral
 from lbaudiodetective_tpu.ops.haar import haar_2d
 
 
+
 def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig,
                               rows_are_coeffs: bool = False
                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -121,10 +122,12 @@ def _rows_impl_auto(config: FingerprintConfig) -> str:
     return "fused" if on_accel else "xla"
 
 
-@partial(jax.jit, static_argnames=("config", "n_rows", "rows_impl"))
+@partial(jax.jit, static_argnames=("config", "n_rows", "rows_impl",
+                                   "pipe_tail"))
 def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
                                config: FingerprintConfig, n_rows: int,
-                               rows_impl: str = "auto"
+                               rows_impl: str = "auto",
+                               pipe_tail: str = "chain"
                                ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Core jitted extraction over padded audio.
 
@@ -135,6 +138,11 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
            downstream code may rely on zero padding.
     n_rows: static row count, a multiple of ``rows_per_frame``.
     rows_impl: "fused" (Pallas), "xla", or "auto".
+    pipe_tail: multi-step pipe_select tail handling ("chain" — the shipped
+           default, in-kernel select lag crossing clip boundaries —
+           "stitch", or "fold"; measured on-chip in scripts/ab_pipe_tail.py
+           and scripts/probe_chain_e2e.py: chain 53.0 vs stitch 55.6 ms per
+           256 parity clips).
 
     Returns (pos, neg) uint8 ``[..., n_sub, pairs]``.
     """
@@ -168,15 +176,20 @@ def extract_fingerprint_padded(audio: jnp.ndarray, n_valid_sub: jnp.ndarray,
             # VPU bitonic overlaps the MXU stage-2 (~88% measured overlap,
             # scripts/probe_mxu_vpu_overlap.py); single-step-per-clip grids
             # (proc hop, short clips) lag along the batch axis instead.
-            # The default tail handling is "stitch" (each clip's final step
-            # selected outside the grid): the pl.when-gated "fold" variant
-            # serialises the select against the matmuls and measured 12-20%
-            # slower on-chip (scripts/queue_logs_r04 q6/q7).  Only a 1-clip
-            # single-step dispatch has nothing to lag behind — the wrapper
-            # falls back to the standalone select there, as does this gate
+            # The default tail handling is "chain" (the lag crosses clip
+            # boundaries so only the global-final step is selected outside
+            # the grid): measured 53.0 vs 55.6 ms per 256 parity clips
+            # against "stitch" (per-clip tail select), bit-identical
+            # (scripts/probe_chain_e2e.py, ab_pipe_tail.py).  The
+            # pl.when-gated "fold" variant serialises the select against
+            # the matmuls and measured 12-20% slower on-chip
+            # (scripts/queue_logs_r04 q6/q7).  Only a 1-clip single-step
+            # dispatch has nothing to lag behind — the wrapper falls back
+            # to the standalone select there, as does this gate
             # (subfingerprints_from_rows below).
             cls = fused_band_rows_v3(batched, config, n_rows, fuse_haar=True,
-                                     pipe_select=True)       # [B, n_tiles, 128]
+                                     pipe_select=True,
+                                     pipe_tail=pipe_tail)    # [B, n_tiles, 128]
             topcls = cls[..., :k] if audio.ndim == 2 else cls[0][..., :k]
             pos = (topcls == 1).astype(jnp.uint8)
             neg = (topcls == 2).astype(jnp.uint8)

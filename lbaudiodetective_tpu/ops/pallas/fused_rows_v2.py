@@ -690,7 +690,7 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                        vmaj: bool = False,
                        cost_hint: bool = False,
                        pipe_select: bool = False,
-                       pipe_tail: str = "stitch") -> jnp.ndarray:
+                       pipe_tail: str = "chain") -> jnp.ndarray:
     # dense_pairs is a MEASURED NEGATIVE on v5e (scripts/ab_dense.py): the
     # 22% stage-2 MAC cut (2048 -> 1600 lanes) times out at 26.0 ms vs 24.9
     # ms per 128 parity clips because N=192 matmuls do not run
@@ -860,8 +860,8 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         # select kernel for that shape) — use the plain fused path instead.
         pipe_select = False
         fuse_select = True
-    if pipe_tail not in ("stitch", "fold"):
-        raise ValueError("pipe_tail must be 'stitch' or 'fold'")
+    if pipe_tail not in ("stitch", "fold", "chain"):
+        raise ValueError("pipe_tail must be 'stitch', 'fold' or 'chain'")
     # Lag axis: the innermost grid axis when clips span several steps;
     # otherwise lag along the batch axis (proc hop / short clips: one step
     # per clip, so consecutive grid steps ARE consecutive clips).  The
@@ -869,17 +869,30 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
     # garbage write is overwritten by its successor before the block
     # flushes.
     #
-    # Multi-step tail handling (pipe_tail): "stitch" (default) keeps the
-    # select and the matmuls in ONE straight-line kernel body (that is what
-    # lets Mosaic interleave the VPU bitonic under the MXU drains — the
-    # on-chip 4,572 clips/s round-3 measurement) and selects each clip's
-    # final step in a small standalone kernel outside the grid.  "fold"
-    # (tail_fold) instead runs one extra select-only grid step per clip with the
-    # matmuls pl.when-gated off; the two pl.when regions serialise the VPU
-    # select against the MXU matmuls and measured 3,594-3,684 clips/s
-    # on-chip (scripts/queue_logs_r04 q6/q7) — kept as a variant for A/B.
+    # Multi-step tail handling (pipe_tail): "stitch" and "chain" both keep
+    # the select and the matmuls in ONE straight-line kernel body (that is
+    # what lets Mosaic interleave the VPU bitonic under the MXU drains —
+    # the on-chip 4,572 clips/s round-3 measurement); they differ in which
+    # steps the lagged map never emits.  "stitch" selects each clip's final
+    # step in a standalone kernel outside the grid; "chain" (default, round
+    # 5) crosses clip boundaries so only the GLOBAL final step is stitched —
+    # measured 53.0 vs 55.6 ms per 256 parity clips, bit-identical
+    # (scripts/probe_chain_e2e.py).  "fold" (tail_fold) instead runs one
+    # extra select-only grid step per clip with the matmuls pl.when-gated
+    # off; the two pl.when regions serialise the VPU select against the MXU
+    # matmuls and measured 3,594-3,684 clips/s on-chip
+    # (scripts/queue_logs_r04 q6/q7) — kept as a variant for A/B.
     tail_fold = pipe_select and n_steps >= 2 and pipe_tail == "fold"
-    tail_stitch_t = pipe_select and n_steps >= 2 and not tail_fold
+    # "chain": the lag crosses clip boundaries — step (b, 0) emits the select
+    # of clip b-1's FINAL step (the scratch persists across every grid
+    # iteration, so the kernel body is identical to "stitch").  Only the
+    # global-final step is left for the standalone tail kernel: the stitched
+    # select work drops from one step per CLIP (1/n_steps of all select
+    # work, ~3 ms/256 parity clips) to one step per DISPATCH.  Requires
+    # sequential batch semantics, like the batch lag.
+    tail_chain = pipe_select and n_steps >= 2 and pipe_tail == "chain"
+    tail_stitch_t = (pipe_select and n_steps >= 2
+                     and not tail_fold and not tail_chain)
     scratch_shapes = None
     if pipe_select:
         if not fuse_haar or rpf != 128 or bands != 32:
@@ -895,6 +908,29 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
                                      memory_space=pltpu.VMEM)
             out_shape = jax.ShapeDtypeStruct((batch, n_tiles, _LANE),
                                              jnp.int32)
+        elif tail_chain:
+            def _prev_step(b, t):
+                # Global-previous grid step in (batch, t) iteration order,
+                # clamped at (0, 0): the very first iteration's garbage
+                # select lands in block (0, 0) and is overwritten by its
+                # successor before the revolving window flushes.
+                bb = jnp.where(t > 0, b, jnp.maximum(b - 1, 0))
+                tt = jnp.where(t > 0, t - 1,
+                               jnp.where(b > 0, n_steps - 1, 0))
+                return (bb, tt, 0)
+
+            out_specs = [
+                pl.BlockSpec((1, tps, _LANE), _prev_step,
+                             memory_space=pltpu.VMEM),
+                # Global-final step's frames (last write wins) — selected by
+                # the standalone tail kernel below.
+                pl.BlockSpec((1, tps * 32, _LANE), lambda b, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((batch, n_tiles, _LANE), jnp.int32),
+                jax.ShapeDtypeStruct((1, tps * 32, _LANE), jnp.float32),
+            ]
         elif tail_stitch_t:
             out_specs = [
                 # Lagged along the grid's t axis: step t emits the select of
@@ -987,6 +1023,9 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         cost_estimate=cost,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            # t-axis lags (fold/stitch) keep the batch axis parallel; the
+            # batch lag and the cross-clip chain need sequential batch
+            # semantics so the scratch carry crosses clip boundaries.
             dimension_semantics=(("parallel", "arbitrary") if not pipe_select
                                  or tail_fold or tail_stitch_t
                                  else ("arbitrary", "arbitrary"))),
@@ -1041,5 +1080,9 @@ def fused_band_rows_v3(audio: jnp.ndarray, config: FingerprintConfig,
         # The unwritten block of every clip is its LAST step's tiles.
         return jax.lax.dynamic_update_slice(cls, tail_cls,
                                             (0, n_tiles - tps, 0))
+    if tail_chain:
+        # Cross-clip chain: only the GLOBAL last step is unwritten.
+        return jax.lax.dynamic_update_slice(
+            cls, tail_cls, (batch - 1, n_tiles - tps, 0))
     # Batch lag: the unwritten block is the LAST batch item's (single) step.
     return jax.lax.dynamic_update_slice(cls, tail_cls, (batch - 1, 0, 0))

@@ -63,7 +63,7 @@ def main():
                                            fuse_haar=True))
     cls_two = np.asarray(select_sign_classes(
         jnp.asarray(coeffs.reshape(-1, 4096)), f_blk=32)).reshape(8, S, 128)
-    for tail in ("stitch", "fold"):
+    for tail in ("stitch", "fold", "chain"):
         cls = np.asarray(fused_band_rows_v3(
             small, cfg, n_rows, fuse_haar=True, pipe_select=True,
             pipe_tail=tail))
@@ -82,10 +82,30 @@ def main():
         ("pipe_select fold", lambda a: fused_band_rows_v3(
             a, cfg, n_rows, fuse_haar=True, pipe_select=True,
             pipe_tail="fold")),
+        ("pipe_select chain", lambda a: fused_band_rows_v3(
+            a, cfg, n_rows, fuse_haar=True, pipe_select=True,
+            pipe_tail="chain")),
     ]
     for label, fn in variants:
-        dt = time_variant(fn, audio)
+        dt = time_variant(fn, audio, reps=4, iters=20)
         print(f"{label:24s} {dt * 1e3:7.2f} ms / {B} clips "
+              f"({B / dt:8.0f} clips/s)")
+
+    # End-to-end extraction (cls -> planes + valid mask) per tail.  NOTE:
+    # pipe_tail must ride as the static jit parameter — an earlier version
+    # monkeypatched a module global, which extract_fingerprint_padded's own
+    # jit wrapper baked into its FIRST trace (both "variants" then timed
+    # stitch; scripts/probe_chain_e2e.py caught it via identical HLO).
+    from lbaudiodetective_tpu.ops.extract import extract_fingerprint_padded
+
+    n_subs = jnp.full((B,), S, jnp.int32)
+    for tail in ("stitch", "chain"):
+        def full(a, _tail=tail):
+            pos, neg = extract_fingerprint_padded(a, n_subs, cfg, n_rows,
+                                                  pipe_tail=_tail)
+            return pos
+        dt = time_variant(full, audio, reps=4, iters=20)
+        print(f"full extract tail={tail:7s} {dt * 1e3:7.2f} ms / {B} clips "
               f"({B / dt:8.0f} clips/s)")
 
 

@@ -142,11 +142,12 @@ def test_v3_pipe_select_batch_lag():
     np.testing.assert_array_equal(cls_pipe, cls_two)
 
 
-@pytest.mark.parametrize("pipe_tail", ["stitch", "fold"])
-def test_v3_pipe_select_tail_variants(pipe_tail):
-    """Both multi-step tail handlings are element-exact: "stitch" (default:
-    straight-line select+matmul body, final step selected outside the grid)
-    and "fold" (extra pl.when-gated select-only grid step per clip)."""
+def _pipe_select_tail_variants_body():
+    """All multi-step tail handlings are element-exact: "stitch" (straight-
+    line select+matmul body, each clip's final step selected outside the
+    grid), "fold" (extra pl.when-gated select-only grid step per clip) and
+    "chain" (the lag crosses clip boundaries; only the global-final step is
+    selected outside)."""
     from lbaudiodetective_tpu.ops.pallas.fused_rows_v2 import fused_band_rows_v3
     from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
 
@@ -161,20 +162,18 @@ def test_v3_pipe_select_tail_variants(pipe_tail):
     cls_two = np.asarray(select_sign_classes(
         jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)), f_blk=8,
         interpret=True))
-    cls_pipe = np.asarray(fused_band_rows_v3(
-        audio, cfg, n_rows, interpret=True, fuse_haar=True,
-        pipe_select=True, pipe_tail=pipe_tail)).reshape(-1, 128)
-    np.testing.assert_array_equal(cls_pipe, cls_two)
+    for pipe_tail in ("stitch", "fold", "chain"):
+        cls_pipe = np.asarray(fused_band_rows_v3(
+            audio, cfg, n_rows, interpret=True, fuse_haar=True,
+            pipe_select=True, pipe_tail=pipe_tail)).reshape(-1, 128)
+        np.testing.assert_array_equal(cls_pipe, cls_two)
 
 
-@pytest.mark.parametrize("n_tiles,b", [
-    (4, 3),     # tps=4, n_steps=1 -> batch lag at tps=4
-    (12, 2),    # tps=4, n_steps=3 -> time lag at tps=4
-    (2, 3),     # tps=2, n_steps=1 -> batch lag at tps=2
-    (3, 2),     # tps=1, n_steps=3 -> time lag at tps=1 (odd tile counts —
-                # the COMMON real-clip case: any odd subfingerprint bucket)
-])
-def test_v3_pipe_select_small_tps(n_tiles, b):
+def test_v3_pipe_select_tail_variants():
+    _run_pipe_select_body_in_subprocess("_pipe_select_tail_variants_body")
+
+
+def _pipe_select_small_tps_body():
     """pipe_select at tps<8 geometries (tile counts not divisible by 8):
     both lag axes must stay element-exact.  Odd tile counts force tps=1,
     which real corpus clips hit whenever the subfingerprint bucket is odd."""
@@ -182,27 +181,41 @@ def test_v3_pipe_select_small_tps(n_tiles, b):
         fused_band_rows_v3, v3_tiles_per_step)
     from lbaudiodetective_tpu.ops.pallas.select_signs import select_sign_classes
 
-    cfg = FingerprintConfig()
-    n_rows = n_tiles * 128
-    t_pad = required_padded_length(cfg, n_rows)
-    rng = np.random.default_rng(55 + n_tiles)
-    audio = jnp.asarray((np.cumsum(rng.standard_normal((b, t_pad)), axis=1)
-                         * 0.01).astype(np.float32))
-    coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
-                                fuse_haar=True)
-    cls_two = np.asarray(select_sign_classes(
-        jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)),
-        f_blk=v3_tiles_per_step(n_tiles), interpret=True))
-    cls_pipe = np.asarray(fused_band_rows_v3(
-        audio, cfg, n_rows, interpret=True, fuse_haar=True,
-        pipe_select=True)).reshape(-1, 128)
-    np.testing.assert_array_equal(cls_pipe, cls_two)
-    if n_tiles // v3_tiles_per_step(n_tiles) >= 2:
-        # Multi-step geometries also have the folded-tail variant.
-        cls_fold = np.asarray(fused_band_rows_v3(
+    cases = [
+        (4, 3),     # tps=4, n_steps=1 -> batch lag at tps=4
+        (12, 2),    # tps=4, n_steps=3 -> time lag at tps=4
+        (2, 3),     # tps=2, n_steps=1 -> batch lag at tps=2
+        (3, 2),     # tps=1, n_steps=3 -> time lag at tps=1 (odd tile counts —
+                    # the COMMON real-clip case: any odd subfingerprint bucket)
+    ]
+    for n_tiles, b in cases:
+        cfg = FingerprintConfig()
+        n_rows = n_tiles * 128
+        t_pad = required_padded_length(cfg, n_rows)
+        rng = np.random.default_rng(55 + n_tiles)
+        audio = jnp.asarray((np.cumsum(rng.standard_normal((b, t_pad)), axis=1)
+                             * 0.01).astype(np.float32))
+        coeffs = fused_band_rows_v3(audio, cfg, n_rows, interpret=True,
+                                    fuse_haar=True)
+        cls_two = np.asarray(select_sign_classes(
+            jnp.asarray(np.asarray(coeffs).reshape(-1, 4096)),
+            f_blk=v3_tiles_per_step(n_tiles), interpret=True))
+        cls_pipe = np.asarray(fused_band_rows_v3(
             audio, cfg, n_rows, interpret=True, fuse_haar=True,
-            pipe_select=True, pipe_tail="fold")).reshape(-1, 128)
-        np.testing.assert_array_equal(cls_fold, cls_two)
+            pipe_select=True)).reshape(-1, 128)
+        np.testing.assert_array_equal(cls_pipe, cls_two)
+        if n_tiles // v3_tiles_per_step(n_tiles) >= 2:
+            # Multi-step geometries also have the folded- and chained-tail
+            # variants.
+            for tail in ("fold", "chain"):
+                cls_t = np.asarray(fused_band_rows_v3(
+                    audio, cfg, n_rows, interpret=True, fuse_haar=True,
+                    pipe_select=True, pipe_tail=tail)).reshape(-1, 128)
+                np.testing.assert_array_equal(cls_t, cls_two)
+
+
+def test_v3_pipe_select_small_tps():
+    _run_pipe_select_body_in_subprocess("_pipe_select_small_tps_body")
 
 
 def _pipe_select_multi_step_body():
@@ -228,17 +241,20 @@ def _pipe_select_multi_step_body():
     np.testing.assert_array_equal(cls_pipe, cls_two)
 
 
-def test_v3_pipe_select_multi_step():
-    """Runs `_pipe_select_multi_step_body` in a FRESH subprocess.
+def _run_pipe_select_body_in_subprocess(body_name: str):
+    """Run a pipe_select test body in a FRESH subprocess.
 
-    This round's jaxlib reliably segfaults on this one large interpret-mode
-    program in any process that has already compiled other programs — the
-    fault moved between `backend_compile_and_load`, `executable.serialize()`
-    and `deserialize_executable` across runs (memory corruption in the XLA
-    CPU client, not repo code; host RAM is free and the same body always
-    passes in a fresh process).  A subprocess with the persistent cache off
-    is the only configuration that has never crashed, at the cost of
-    recompiling the program per run (~90 s)."""
+    This round's jaxlib segfaults on the interpret-mode pipe_select program
+    family in any process that has already compiled many other programs —
+    the fault moved between `backend_compile_and_load`,
+    `executable.serialize()` (cache put) and `deserialize_executable`
+    (cache get) across runs (memory corruption in the XLA CPU client, not
+    repo code; host RAM is free and the same bodies always pass in a fresh
+    process).  A subprocess with the persistent cache off is the only
+    configuration that has never crashed, at the cost of recompiling the
+    programs per run.  First seen on `_pipe_select_multi_step_body`;
+    `_pipe_select_small_tps_body` started crashing the same way later in
+    the round, so every body in the family runs isolated."""
     import os
     import pathlib
     import subprocess
@@ -254,14 +270,18 @@ def test_v3_pipe_select_multi_step():
             parts.append(p)
     env["PYTHONPATH"] = os.pathsep.join(parts)
     script = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
-              "import test_fused_rows as t; t._pipe_select_multi_step_body(); "
-              "print('PIPE_SELECT_MULTI_STEP_OK')")
+              f"import test_fused_rows as t; t.{body_name}(); "
+              "print('PIPE_SELECT_BODY_OK')")
     proc = subprocess.run([sys.executable, "-c", script], cwd=str(repo),
                           env=env, capture_output=True, text=True,
                           timeout=1200)
-    assert proc.returncode == 0 and "PIPE_SELECT_MULTI_STEP_OK" in proc.stdout, (
+    assert proc.returncode == 0 and "PIPE_SELECT_BODY_OK" in proc.stdout, (
         f"subprocess rc={proc.returncode}\n--- stdout ---\n{proc.stdout[-2000:]}"
         f"\n--- stderr ---\n{proc.stderr[-4000:]}")
+
+
+def test_v3_pipe_select_multi_step():
+    _run_pipe_select_body_in_subprocess("_pipe_select_multi_step_body")
 
 
 @pytest.mark.parametrize("stride_cfg,n_rows", [

@@ -69,6 +69,21 @@ def acquire_backend(retries: int = 3, wait_s: float = 90.0,
     return None
 
 
+def load_details(device_str: str, jax_version: str) -> dict:
+    """Load the merge-in-place bench_details.json artifact for a successful
+    run.  A successful acquisition supersedes any outage marker a previous
+    failed run merged into the artifact — leaving ``backend_error`` there
+    would pair a stale error with fresh numbers."""
+    try:
+        with open("bench_details.json") as f:
+            details = json.load(f)
+    except Exception:
+        details = {}
+    details.update({"device": device_str, "jax": jax_version})
+    details.pop("backend_error", None)
+    return details
+
+
 def emit_failure(reason: str, error: str = "tpu_unavailable") -> None:
     """The ONE-JSON-line contract, degraded parseably on failure."""
     try:
@@ -651,12 +666,7 @@ def main():
         emit_failure("backend unavailable after bounded retries")
         return
 
-    try:
-        with open("bench_details.json") as f:
-            details = json.load(f)
-    except Exception:
-        details = {}
-    details.update({"device": device_str, "jax": jax.__version__})
+    details = load_details(device_str, jax.__version__)
 
     parity_cfg = FingerprintConfig()                    # hop 'file' (parity)
     proc_cfg = FingerprintConfig(hop_domain="proc")     # spec-corrected

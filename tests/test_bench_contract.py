@@ -50,6 +50,18 @@ def test_simulated_outage_emits_structured_line(bench, monkeypatch, capsys,
     assert "backend_error" in details
 
 
+def test_recovered_run_clears_stale_backend_error(bench, tmp_path):
+    """A successful run must drop the backend_error marker a previous failed
+    run merged into bench_details.json (stale error next to fresh numbers)."""
+    (tmp_path / "bench_details.json").write_text(json.dumps(
+        {"backend_error": "backend unavailable after bounded retries",
+         "extract_parity_clips_per_sec": 1.0}))
+    details = bench.load_details("TPU v5e device 0", "0.9.0")
+    assert "backend_error" not in details
+    assert details["extract_parity_clips_per_sec"] == 1.0   # merge preserved
+    assert details["device"] == "TPU v5e device 0"
+
+
 def test_outage_retry_then_recovery_continues(bench, monkeypatch):
     """A probe that fails once then succeeds -> acquire_backend returns the
     device string after the bounded retry (no premature give-up)."""

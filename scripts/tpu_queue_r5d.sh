@@ -8,6 +8,8 @@
 #
 #   q28 parity_v3            — oracle bit parity at HEAD (expect ~99.92%)
 #   q29 bench canonical      — parity clips/s (expect ~4.8k)
+#   q30 batch sweep          — does batch > 256 amortize the chain tail's
+#                              per-dispatch cost? (128/256/512/1024)
 #
 # Same contract as tpu_queue_r5c.sh: relay poll, per-job resume markers,
 # path-scoped auto-commits.
@@ -33,7 +35,7 @@ done
 echo "$(date '+%H:%M:%S') relay UP - starting r5d queue" >> "$LOG"
 
 commit_artifacts() {
-  for f in /tmp/q2[89]_*.log; do
+  for f in /tmp/q2[89]_*.log /tmp/q30_*.log; do
     [ -f "$f" ] || continue
     tail -c 200000 "$f" > "$DEST/$(basename "$f")"
   done
@@ -73,5 +75,6 @@ run() {  # run <n> <logname> <cmd...>
 
 run 28 parity_head python scripts/parity_v3.py
 run 29 bench_head python bench.py
+run 30 batch_sweep python scripts/probe_batch_sweep.py
 echo "$(date '+%H:%M:%S') R5D QUEUE DONE" >> "$LOG"
 commit_artifacts

@@ -684,7 +684,12 @@ def main():
             bench_extract(parity_cfg, batch=8, iters=1)
         details["trace_dir"] = "/tmp/lbad_trace"
 
-    batch = 8 if quick else 256  # larger batches amortise dispatch + XLA fixed costs
+    # Larger batches amortise dispatch + XLA fixed costs AND the chain
+    # tail's per-dispatch final select.  Measured on-chip (q30 sweep,
+    # scripts/probe_batch_sweep.py): 128 -> 4,469, 256 -> 4,703,
+    # 512 -> 4,794, 1024 -> 4,857 clips/s; audio input at 1024 is ~1.8 GB
+    # HBM, well within v5e's 16 GB.
+    batch = 8 if quick else 1024
     with timers.stage("extract_parity"):
         clips_per_sec, dt = bench_extract(parity_cfg, batch=batch)
     details["extract_parity_clips_per_sec"] = clips_per_sec

@@ -30,7 +30,9 @@ def main() -> None:
     from lbaudiodetective_tpu.config import FingerprintConfig
 
     config = FingerprintConfig()
-    for batch in (128, 256, 512, 1024):
+    batches = (tuple(int(a) for a in sys.argv[1:]) if len(sys.argv) > 1
+               else (128, 256, 512, 1024))
+    for batch in batches:
         best = 0.0
         for _ in range(3):
             t0 = time.time()

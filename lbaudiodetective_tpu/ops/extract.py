@@ -28,6 +28,7 @@ from lbaudiodetective_tpu.ops import spectral
 from lbaudiodetective_tpu.ops.haar import haar_2d
 
 
+
 def subfingerprints_from_rows(rows: jnp.ndarray, config: FingerprintConfig,
                               rows_are_coeffs: bool = False
                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
